@@ -1,0 +1,295 @@
+"""Batched frame-synchronous Viterbi beam search on device.
+
+TPU-first redesign of the reference token-passing decoder (reference
+src/decoder.{h,cc}).  The pointer-chasing structures become dense arrays:
+
+  token beam (hash table + pools)  -> K fixed slots (state, lm, cost, bp)
+  ProcessEmitting arc loop         -> CSR expansion: cumsum + searchsorted
+                                      slot->arc mapping, batched gathers
+  HashTable dedup + InsertTok      -> 3-key lax.sort + first-occurrence mask
+  sampled-cutoff pruning           -> exact top-k + beam threshold
+                                      (deterministic, tighter than the
+                                      reference's LCG-sampled guess,
+                                      src/decoder.cc:181-236)
+  ProcessNonemitting worklist      -> bounded fixpoint while_loop over the
+                                      whole beam's epsilon arcs
+  OLabel GC pool linked lists      -> per-frame backpointer arena, streamed
+                                      to the host per chunk
+
+Arc costs match the reference relaxation (src/decoder.cc:337-377):
+  cost = prev + graph_weight - am_scale * logp[tid2pdf[ilabel]] (+ delta-LM).
+
+Everything is static-shape and vmapped over a batch of utterances, scanned
+over frames in chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catears_tpu.graph.device import DeviceFst, DeviceLm, lm_propagate
+
+INF = jnp.float32(jnp.inf)
+SENTINEL_STATE = jnp.int32(2**30)  # sorts after every real state
+
+
+@dataclass(frozen=True)
+class BeamConfig:
+    """Static decoder geometry (hashable: used as a jit static arg)."""
+
+    beam_size: int = 4096  # K: max active tokens (reference default 30000)
+    expand_size: int = 32768  # E: emitting-arc expansion capacity
+    eps_expand_size: int = 8192  # epsilon-closure expansion capacity
+    max_eps_iters: int = 6  # closure fixpoint bound
+    beam: float = 16.0  # beam width (reference src/decoder.cc:56)
+    am_scale: float = 0.1  # acoustic scale (reference src/ce_stt.cc:263)
+
+    @property
+    def arena_size(self) -> int:
+        return (1 + self.max_eps_iters) * self.beam_size
+
+
+class BeamState(NamedTuple):
+    """One utterance's beam; slots sorted by cost, state == -1 when empty."""
+
+    states: jnp.ndarray  # i32 [K] HCLG state
+    lm: jnp.ndarray  # i32 [K] delta-LM state (0 when unused)
+    costs: jnp.ndarray  # f32 [K] +inf when empty
+    bp: jnp.ndarray  # i32 [K] arena id of this token's latest record
+
+
+class FrameTrace(NamedTuple):
+    """Per-frame backpointer arena (host backtrace input).
+
+    arena_parent encoding: >= 0 -> same-frame arena id;
+    < 0 -> previous frame's beam slot -(v+1).
+    """
+
+    bp_ids: jnp.ndarray  # i32 [K] final arena id per beam slot
+    arena_parent: jnp.ndarray  # i32 [M]
+    arena_olabel: jnp.ndarray  # i32 [M]
+
+
+def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b,
+                 payload_c):
+    """Dedup by (state, lm) keeping min cost, then exact top-K by cost.
+
+    Stable 3-key sort means ties keep input order, so earlier entries win —
+    matching the reference's strict-improvement insert (src/decoder.cc:172).
+    Returns (BeamState fields without bp) + payloads gathered at kept slots.
+    """
+    k = cfg.beam_size
+    (s_states, s_lms, s_costs, s_a, s_b, s_c) = jax.lax.sort(
+        (states, lms, costs, payload_a, payload_b, payload_c), num_keys=3)
+    first = jnp.ones_like(s_states, jnp.bool_)
+    first = first.at[1:].set((s_states[1:] != s_states[:-1])
+                             | (s_lms[1:] != s_lms[:-1]))
+    eff_cost = jnp.where(first & (s_states < SENTINEL_STATE), s_costs, INF)
+    neg_top, idx = jax.lax.top_k(-eff_cost, k)
+    top_costs = -neg_top
+    valid = jnp.isfinite(top_costs)
+    return (
+        jnp.where(valid, s_states[idx], -1),
+        jnp.where(valid, s_lms[idx], 0),
+        jnp.where(valid, top_costs, INF),
+        s_a[idx],
+        s_b[idx],
+        s_c[idx],
+    )
+
+
+def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
+            emitting: bool):
+    """Map expansion slots -> (token index, arc index) over the CSR spans."""
+    state_c = jnp.clip(beam.states, 0, dfst.offsets.shape[0] - 2)
+    valid_tok = beam.states >= 0
+    lo = dfst.offsets[state_c]
+    n_eps = dfst.n_eps[state_c]
+    n_all = dfst.offsets[state_c + 1] - lo
+    if emitting:
+        span_start = lo + n_eps
+        span_len = jnp.where(valid_tok, n_all - n_eps, 0)
+    else:
+        span_start = lo
+        span_len = jnp.where(valid_tok, n_eps, 0)
+    cum = jnp.cumsum(span_len)
+    total = cum[-1]
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    tok = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    tok_c = jnp.minimum(tok, cfg.beam_size - 1)
+    cum_before = cum - span_len
+    arc_idx = span_start[tok_c] + (e - cum_before[tok_c])
+    valid_e = e < total
+    arc_idx = jnp.clip(arc_idx, 0, dfst.arc_next.shape[0] - 1)
+    return tok_c, arc_idx, valid_e
+
+
+def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
+                   beam: BeamState, logp: jnp.ndarray):
+    """Relax all emitting arcs; returns deduped/pruned beam + bp block 0."""
+    tok, arc_idx, valid_e = _expand(cfg, dfst, beam, cfg.expand_size, True)
+    next_state = dfst.arc_next[arc_idx]
+    olabel = dfst.arc_olabel[arc_idx]
+    ac_cost = -cfg.am_scale * logp[dfst.arc_pdf[arc_idx]]
+    cost = beam.costs[tok] + dfst.arc_weight[arc_idx] + ac_cost
+    lm_state = beam.lm[tok]
+    if dlm is not None:
+        lm_state, lm_w = lm_propagate(dlm, lm_state, olabel)
+        cost = cost + lm_w
+    cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
+    cand_cost = jnp.where(valid_e, cost, INF)
+    parent_enc = -(tok + 1)  # previous-frame slot reference
+    states, lms, costs, parent, olab, _ = _select_best(
+        cfg, cand_state, lm_state, cand_cost, parent_enc, olabel,
+        jnp.zeros_like(olabel))
+    # Beam threshold: exact equivalent of the adaptive cutoff
+    cutoff = costs[0] + cfg.beam
+    keep = costs <= cutoff
+    states = jnp.where(keep, states, -1)
+    costs = jnp.where(keep, costs, INF)
+    k = cfg.beam_size
+    arena_parent = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(parent)
+    arena_olabel = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(
+        jnp.where(keep, olab, 0))
+    new_beam = BeamState(states, lms, costs,
+                         jnp.arange(k, dtype=jnp.int32))
+    return new_beam, arena_parent, arena_olabel, cutoff
+
+
+def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
+                 beam: BeamState, arena_parent, arena_olabel, cutoff):
+    """Bounded fixpoint epsilon closure (ProcessNonemitting equivalent)."""
+    k = cfg.beam_size
+
+    def cond(carry):
+        _, _, _, j, changed = carry
+        return changed & (j < cfg.max_eps_iters)
+
+    def body(carry):
+        beam, arena_parent, arena_olabel, j, _ = carry
+        tok, arc_idx, valid_e = _expand(cfg, dfst, beam,
+                                        cfg.eps_expand_size, False)
+        next_state = dfst.arc_next[arc_idx]
+        olabel = dfst.arc_olabel[arc_idx]
+        cost = beam.costs[tok] + dfst.arc_weight[arc_idx]
+        lm_state = beam.lm[tok]
+        if dlm is not None:
+            lm_state, lm_w = lm_propagate(dlm, lm_state, olabel)
+            cost = cost + lm_w
+        valid_e = valid_e & (cost <= cutoff)
+        cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
+        cand_cost = jnp.where(valid_e, cost, INF)
+        # Merge current beam (is_cand=0, keeps its bp id) with candidates
+        # (is_cand=1, parent = source token's bp id).  Beam entries come
+        # first so stable sort keeps them on cost ties (strict improvement).
+        m_states = jnp.concatenate([beam.states, cand_state])
+        m_lms = jnp.concatenate([beam.lm, lm_state])
+        m_costs = jnp.concatenate([beam.costs, cand_cost])
+        m_ref = jnp.concatenate([beam.bp, beam.bp[tok]])
+        m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), olabel])
+        m_iscand = jnp.concatenate([jnp.zeros_like(beam.bp),
+                                    jnp.ones_like(olabel)])
+        states, lms, costs, ref, olab, iscand = _select_best(
+            cfg, m_states, m_lms, m_costs, m_ref, m_olab, m_iscand)
+        accepted = (iscand == 1) & (states >= 0)
+        base = (1 + j) * k
+        slot_ids = base + jnp.arange(k, dtype=jnp.int32)
+        new_bp = jnp.where(accepted, slot_ids, ref)
+        arena_parent = jax.lax.dynamic_update_slice(
+            arena_parent, jnp.where(accepted, ref, 0), (base,))
+        arena_olabel = jax.lax.dynamic_update_slice(
+            arena_olabel, jnp.where(accepted, olab, 0), (base,))
+        new_beam = BeamState(states, lms, costs, new_bp)
+        return new_beam, arena_parent, arena_olabel, j + 1, jnp.any(accepted)
+
+    init = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
+            jnp.bool_(True))
+    beam, arena_parent, arena_olabel, _, _ = jax.lax.while_loop(
+        cond, body, init)
+    return beam, arena_parent, arena_olabel
+
+
+def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
+                beam: BeamState, logp: jnp.ndarray, frame_valid: jnp.ndarray):
+    """One decode frame for one utterance; identity when frame_valid is 0."""
+    new_beam, arena_parent, arena_olabel, cutoff = _emitting_step(
+        cfg, dfst, dlm, beam, logp)
+    new_beam, arena_parent, arena_olabel = _eps_closure(
+        cfg, dfst, dlm, new_beam, arena_parent, arena_olabel, cutoff)
+
+    # Identity trace for padded frames: every slot chains to itself in the
+    # previous frame with no output.
+    k = cfg.beam_size
+    slots = jnp.arange(k, dtype=jnp.int32)
+    id_parent = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(-(slots + 1))
+    keep = lambda a, b: jnp.where(frame_valid, a, b)  # noqa: E731
+    out_beam = BeamState(keep(new_beam.states, beam.states),
+                         keep(new_beam.lm, beam.lm),
+                         keep(new_beam.costs, beam.costs),
+                         keep(new_beam.bp, slots))
+    trace = FrameTrace(
+        bp_ids=keep(new_beam.bp, slots),
+        arena_parent=keep(arena_parent, id_parent),
+        arena_olabel=keep(arena_olabel, jnp.zeros_like(arena_olabel)),
+    )
+    # Padded frames must leave the beam recoverable: when invalid, bp resets
+    # to slot identity so the next valid frame references the right slots.
+    return out_beam, trace
+
+
+def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
+                   dlm: Optional[DeviceLm]) -> Tuple[BeamState, FrameTrace]:
+    """Root token + initial epsilon closure (Decoder::Initialize)."""
+    k = cfg.beam_size
+    states = jnp.full((k,), -1, jnp.int32).at[0].set(dfst.start)
+    lm0 = dlm.start if dlm is not None else jnp.int32(0)
+    lms = jnp.zeros((k,), jnp.int32).at[0].set(lm0)
+    costs = jnp.full((k,), INF).at[0].set(0.0)
+    bp = jnp.arange(k, dtype=jnp.int32)
+    beam = BeamState(states, lms, costs, bp)
+    arena_parent = jnp.zeros((cfg.arena_size,), jnp.int32)
+    # Root entries terminate the backtrace: parent slot of a nonexistent
+    # previous frame.
+    arena_parent = arena_parent.at[:k].set(-(bp + 1))
+    arena_olabel = jnp.zeros((cfg.arena_size,), jnp.int32)
+    beam, arena_parent, arena_olabel = _eps_closure(
+        cfg, dfst, dlm, beam, arena_parent, arena_olabel, INF)
+    trace = FrameTrace(beam.bp, arena_parent, arena_olabel)
+    return beam, trace
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def decode_chunk(cfg: BeamConfig, has_lm: bool, dfst: DeviceFst,
+                 dlm, beam: BeamState, logp: jnp.ndarray,
+                 frame_valid: jnp.ndarray):
+    """Scan a [C, B, P] chunk of log-prob frames through the decoder.
+
+    beam fields are [B, K]; returns (beam', FrameTrace stacked [C, B, ...]).
+    """
+    dlm_ = dlm if has_lm else None
+    step = jax.vmap(
+        lambda b, lp, fv: _frame_step(cfg, dfst, dlm_, b, lp, fv),
+        in_axes=(0, 0, 0))
+
+    def scan_fn(b, inputs):
+        lp, fv = inputs
+        return step(b, lp, fv)
+
+    return jax.lax.scan(scan_fn, beam, (logp, frame_valid))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def init_beam_batch(cfg: BeamConfig, has_lm: bool, batch: int,
+                    dfst: DeviceFst, dlm):
+    """[B]-batched initial beam + init trace."""
+    dlm_ = dlm if has_lm else None
+    beam, trace = make_init_beam(cfg, dfst, dlm_)
+    tile = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)  # noqa: E731
+    return (BeamState(*(tile(x) for x in beam)),
+            FrameTrace(*(tile(x) for x in trace)))

@@ -1,0 +1,152 @@
+"""Streaming/batch decoder runtime around the device beam search.
+
+`Decoder` mirrors the reference Decoder lifecycle (Initialize / Process /
+EndOfStream / BestPath, reference src/decoder.h:76-89) for one utterance,
+buffering log-prob frames into fixed-size device chunks.  `decode_batch`
+decodes a whole [B, T, P] batch of utterances in one scan for throughput.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from catears_tpu.decode.beam import (
+    BeamConfig,
+    BeamState,
+    decode_chunk,
+    init_beam_batch,
+)
+from catears_tpu.decode.hyp import HostTrace, best_path
+from catears_tpu.decode.oracle import Hypothesis
+from catears_tpu.graph.device import DeviceFst, DeviceLm
+from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+
+
+def _traces_to_host(trace, num_valid: int, utt: int) -> List[HostTrace]:
+    """Slice a stacked [C, B, ...] FrameTrace to per-frame host traces."""
+    bp = np.asarray(trace.bp_ids[:, utt])
+    par = np.asarray(trace.arena_parent[:, utt])
+    ola = np.asarray(trace.arena_olabel[:, utt])
+    return [HostTrace(bp[f], par[f], ola[f]) for f in range(num_valid)]
+
+
+class Decoder:
+    """Single-utterance streaming decoder (reference Decoder parity API)."""
+
+    def __init__(self, fst: FlatFst, tid2pdf: np.ndarray,
+                 am_scale: float = 0.1,
+                 delta_lm: Optional[DeltaLmFst] = None,
+                 config: Optional[BeamConfig] = None,
+                 chunk_frames: int = 20):
+        if config is None:
+            config = BeamConfig(am_scale=am_scale)
+        elif config.am_scale != am_scale:
+            config = BeamConfig(**{**config.__dict__, "am_scale": am_scale})
+        self.cfg = config
+        self.fst = fst
+        self.delta_lm = delta_lm
+        self.dfst = DeviceFst.build(fst, tid2pdf)
+        self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
+        self.has_lm = delta_lm is not None
+        self.chunk_frames = chunk_frames
+        self.num_pdfs = None  # learned from the first frame
+        self.initialize()
+
+    def initialize(self) -> None:
+        beam, trace = init_beam_batch(self.cfg, self.has_lm, 1, self.dfst,
+                                      self.dlm)
+        self.beam = beam
+        self.traces: List[HostTrace] = [
+            HostTrace(np.asarray(trace.bp_ids[0]),
+                      np.asarray(trace.arena_parent[0]),
+                      np.asarray(trace.arena_olabel[0]))
+        ]
+        self._pending: List[np.ndarray] = []
+        self.num_frames_decoded = 0
+        self.is_end_of_stream = False
+
+    def process(self, logp: np.ndarray) -> None:
+        """Queue [n, P] log-prob rows; decodes in chunk_frames batches."""
+        for row in np.asarray(logp, np.float32):
+            self._pending.append(row)
+        self._flush(force=False)
+
+    def end_of_stream(self) -> None:
+        self._flush(force=True)
+        self.is_end_of_stream = True
+
+    def _flush(self, force: bool) -> None:
+        c = self.chunk_frames
+        while self._pending and (len(self._pending) >= c or force):
+            n = min(len(self._pending), c)
+            rows = self._pending[:n]
+            self._pending = self._pending[n:]
+            p = rows[0].shape[0]
+            logp = np.zeros((c, 1, p), np.float32)
+            logp[:n, 0] = rows
+            valid = np.zeros((c, 1), bool)
+            valid[:n] = True
+            self.beam, trace = decode_chunk(
+                self.cfg, self.has_lm, self.dfst, self.dlm, self.beam,
+                jnp.asarray(logp), jnp.asarray(valid))
+            self.traces.extend(_traces_to_host(trace, n, 0))
+            self.num_frames_decoded += n
+
+    def best_path(self) -> Hypothesis:
+        states = np.asarray(self.beam.states[0])
+        lms = np.asarray(self.beam.lm[0])
+        costs = np.asarray(self.beam.costs[0])
+        return best_path(self.traces, states, lms, costs, self.fst,
+                         self.delta_lm,
+                         end_of_stream=self.is_end_of_stream)
+
+
+def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
+                 lengths: Optional[Sequence[int]] = None,
+                 am_scale: float = 0.1,
+                 delta_lm: Optional[DeltaLmFst] = None,
+                 config: Optional[BeamConfig] = None,
+                 chunk_frames: int = 50) -> List[Hypothesis]:
+    """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
+    if config is None:
+        config = BeamConfig(am_scale=am_scale)
+    b, t, p = logp.shape
+    lengths = list(lengths) if lengths is not None else [t] * b
+    dfst = DeviceFst.build(fst, tid2pdf)
+    dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
+    has_lm = delta_lm is not None
+
+    beam, init_trace = init_beam_batch(config, has_lm, b, dfst, dlm)
+    all_traces: List[List[HostTrace]] = [
+        [HostTrace(np.asarray(init_trace.bp_ids[u]),
+                   np.asarray(init_trace.arena_parent[u]),
+                   np.asarray(init_trace.arena_olabel[u]))]
+        for u in range(b)
+    ]
+    len_arr = np.asarray(lengths)
+    for off in range(0, t, chunk_frames):
+        n = min(chunk_frames, t - off)
+        chunk = np.zeros((chunk_frames, b, p), np.float32)
+        chunk[:n] = np.transpose(logp[:, off:off + n], (1, 0, 2))
+        valid = (off + np.arange(chunk_frames))[:, None] < len_arr[None, :]
+        beam, trace = decode_chunk(config, has_lm, dfst, dlm, beam,
+                                   jnp.asarray(chunk), jnp.asarray(valid))
+        bp = np.asarray(trace.bp_ids)
+        par = np.asarray(trace.arena_parent)
+        ola = np.asarray(trace.arena_olabel)
+        for u in range(b):
+            n_valid = int(np.clip(len_arr[u] - off, 0, chunk_frames))
+            for f in range(n_valid):
+                all_traces[u].append(HostTrace(bp[f, u], par[f, u], ola[f, u]))
+
+    states = np.asarray(beam.states)
+    lms = np.asarray(beam.lm)
+    costs = np.asarray(beam.costs)
+    return [
+        best_path(all_traces[u], states[u], lms[u], costs[u], fst, delta_lm,
+                  end_of_stream=True)
+        for u in range(b)
+    ]

@@ -1,0 +1,166 @@
+"""Device-resident WFST arrays and vectorized LM lookups.
+
+The reference decoder chases pointers through OpenFST arc iterators and
+resolves big-LM backoff chains one query at a time with binary searches
+(reference src/fst.cc:131-154,210-233) behind a 1M-entry direct-mapped cache
+(src/fst.cc:292-327).  On TPU both become dense vector ops: arcs live in CSR
+arrays in HBM, expansion is a batched gather, and backoff walks run as a
+bounded while_loop over whole candidate vectors, making the scalar cache
+unnecessary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst
+
+INT32_SENTINEL = np.int32(2**30)
+
+
+class DeviceFst(NamedTuple):
+    """HCLG graph as device arrays (arcs (state, ilabel)-sorted)."""
+
+    start: jnp.ndarray  # i32 scalar
+    final: jnp.ndarray  # f32 [S]
+    offsets: jnp.ndarray  # i32 [S+1]
+    n_eps: jnp.ndarray  # i32 [S]  epsilon arcs per state (span prefix)
+    arc_next: jnp.ndarray  # i32 [A]
+    arc_olabel: jnp.ndarray  # i32 [A]
+    arc_weight: jnp.ndarray  # f32 [A]
+    arc_pdf: jnp.ndarray  # i32 [A]  tid2pdf[ilabel] (0 for eps arcs)
+
+    @classmethod
+    def build(cls, fst: FlatFst, tid2pdf: np.ndarray) -> "DeviceFst":
+        offsets = fst.offsets.astype(np.int64)
+        # Count of ilabel==0 arcs at each span start (arcs ilabel-sorted).
+        n_eps = np.array([
+            np.searchsorted(fst.arc_ilabel[offsets[s]:offsets[s + 1]], 1)
+            for s in range(fst.num_states)
+        ], dtype=np.int32)
+        tid2pdf = np.asarray(tid2pdf, np.int32)
+        arc_pdf = np.where(fst.arc_ilabel > 0,
+                           tid2pdf[np.minimum(fst.arc_ilabel,
+                                              tid2pdf.size - 1)],
+                           0).astype(np.int32)
+        return cls(
+            start=jnp.int32(fst.start),
+            final=jnp.asarray(fst.final),
+            offsets=jnp.asarray(offsets, jnp.int32),
+            n_eps=jnp.asarray(n_eps),
+            arc_next=jnp.asarray(fst.arc_next),
+            arc_olabel=jnp.asarray(fst.arc_olabel),
+            arc_weight=jnp.asarray(fst.arc_weight),
+            arc_pdf=jnp.asarray(arc_pdf),
+        )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["offsets", "arc_ilabel", "arc_next", "arc_weight",
+                 "arc_ilabel0", "small_lm", "start"],
+    meta_fields=["max_backoff", "span_bits"])
+@dataclasses.dataclass(frozen=True)
+class DeviceLm:
+    """Backoff LM G' + unigram subtraction vector for delta-LM rescoring."""
+
+    offsets: jnp.ndarray  # i32 [S+1]
+    arc_ilabel: jnp.ndarray  # i32 [A] (ilabel-sorted within each span)
+    arc_next: jnp.ndarray  # i32 [A]
+    arc_weight: jnp.ndarray  # f32 [A]
+    arc_ilabel0: jnp.ndarray  # bool [S] state has a backoff (eps-first) arc
+    small_lm: jnp.ndarray  # f32 [V] unigram costs to subtract
+    start: jnp.ndarray  # i32 scalar: DeltaLmFst start (post-<s>)
+    max_backoff: int
+    span_bits: int  # static binary-search depth: ceil(log2(max span + 1))
+
+    @classmethod
+    def build(cls, delta: DeltaLmFst, max_backoff: int = 8) -> "DeviceLm":
+        lm = delta.lm
+        has_backoff = np.zeros(lm.num_states, bool)
+        starts = lm.offsets[:-1]
+        nonempty = lm.offsets[:-1] < lm.offsets[1:]
+        has_backoff[nonempty] = lm.arc_ilabel[starts[nonempty]] == 0
+        max_span = int(np.diff(lm.offsets).max(initial=1))
+        return cls(
+            offsets=jnp.asarray(lm.offsets, jnp.int32),
+            arc_ilabel=jnp.asarray(lm.arc_ilabel),
+            arc_next=jnp.asarray(lm.arc_next),
+            arc_weight=jnp.asarray(lm.arc_weight),
+            arc_ilabel0=jnp.asarray(has_backoff),
+            small_lm=jnp.asarray(np.asarray(delta.small_lm, np.float32)),
+            start=jnp.int32(delta.start_state()),
+            max_backoff=max_backoff,
+            span_bits=max(1, int(max_span).bit_length()),
+        )
+
+
+def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,
+                 labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized DeltaLmFst::GetArc with backoff walk.
+
+    states, labels: i32 [E].  Returns (next_states, delta_weights).
+    labels == 0 keep the state with zero weight; a full backoff miss also
+    keeps the state (reference PropogateLm, src/decoder.cc:123-141).
+    """
+    if dlm is None:
+        return states, jnp.zeros_like(states, jnp.float32)
+
+    def try_find(s, l):
+        """Vectorized per-span binary search (lower_bound on ilabel)."""
+        s_c = jnp.clip(s, 0, dlm.offsets.shape[0] - 2)
+        lo = dlm.offsets[s_c]
+        hi = dlm.offsets[s_c + 1]
+        for _ in range(dlm.span_bits):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            v = dlm.arc_ilabel[jnp.minimum(mid, dlm.arc_ilabel.shape[0] - 1)]
+            go_right = v < l
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        pos_c = jnp.minimum(lo, dlm.arc_ilabel.shape[0] - 1)
+        hit = (lo < dlm.offsets[s_c + 1]) & (dlm.arc_ilabel[pos_c] == l)
+        return hit, pos_c
+
+    active0 = labels > 0
+    cur = jnp.where(active0, states, 0)
+    zero_w = jnp.zeros_like(states, jnp.float32)
+
+    # carry: (cur_state, acc_weight, active, done_found, failed, iteration)
+    def cond(c):
+        return jnp.any(c[2])
+
+    def body(c):
+        cur, weight, active, done, failed, it = c
+        hit, pos = try_find(cur, labels)
+        found_now = active & hit
+        cur = jnp.where(found_now, dlm.arc_next[pos], cur)
+        weight = jnp.where(found_now, weight + dlm.arc_weight[pos], weight)
+        done = done | found_now
+        # Misses follow the state's backoff (epsilon-first) arc if present
+        miss = active & ~hit
+        s_c = jnp.clip(cur, 0, dlm.arc_ilabel0.shape[0] - 1)
+        bo_ok = miss & dlm.arc_ilabel0[s_c]
+        bo_pos = dlm.offsets[s_c]
+        weight = jnp.where(bo_ok, weight + dlm.arc_weight[bo_pos], weight)
+        cur = jnp.where(bo_ok, dlm.arc_next[bo_pos], cur)
+        over = bo_ok & (it >= dlm.max_backoff)
+        failed = failed | (miss & ~bo_ok) | over
+        active = bo_ok & ~over
+        return cur, weight, active, done, failed, it + 1
+
+    init = (cur, zero_w, active0, jnp.zeros_like(active0),
+            jnp.zeros_like(active0), jnp.zeros((), jnp.int32))
+    cur, weight, _, done, failed, _ = jax.lax.while_loop(cond, body, init)
+    # GetArc success: subtract the unigram cost (src/fst.cc:274-281).
+    sub = dlm.small_lm[jnp.clip(labels, 0, dlm.small_lm.shape[0] - 1)]
+    ok = active0 & done & ~failed
+    out_state = jnp.where(ok, cur, states)
+    out_weight = jnp.where(ok, weight - sub, 0.0)
+    return out_state, out_weight

@@ -1,0 +1,189 @@
+"""Decoder differential tests: device beam search vs the numpy oracle.
+
+Pattern mirrors the reference's naive-vs-optimized differential tests
+(test/gemm_test.cc): the dense TPU decoder must produce the same Viterbi
+word sequence and cost as the dict-based oracle on graphs where pruning
+never truncates.
+"""
+
+import numpy as np
+import pytest
+
+from catears_tpu.decode.beam import BeamConfig
+from catears_tpu.decode.decoder import Decoder, decode_batch
+from catears_tpu.decode.oracle import OracleDecoder
+from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst
+from catears_tpu.io.symbols import SymbolTable
+from catears_tpu.tools.toy import make_phone_loop_graph
+
+
+def random_fst(rng, num_states=12, num_trans=10, eps_prob=0.25,
+               max_olabel=5) -> FlatFst:
+    """Random connected-ish WFST with emitting and epsilon arcs."""
+    arcs = []
+    for s in range(num_states):
+        for _ in range(rng.randint(1, 5)):
+            dst = rng.randint(0, num_states)
+            if rng.rand() < eps_prob:
+                ilabel = 0
+                olabel = rng.randint(0, max_olabel + 1)
+                # avoid zero-weight epsilon self loops
+                weight = rng.rand() * 2 + 0.05
+                if dst == s:
+                    continue
+            else:
+                ilabel = rng.randint(1, num_trans + 1)
+                olabel = rng.randint(0, max_olabel + 1)
+                weight = rng.rand() * 3
+            arcs.append((s, dst, ilabel, olabel, weight))
+    arr = np.array(arcs, dtype=np.float64)
+    final = np.where(rng.rand(num_states) < 0.4,
+                     (rng.rand(num_states) * 2).astype(np.float32),
+                     np.float32(np.inf))
+    return FlatFst.from_arrays(
+        start=0, final=final,
+        state_of_arc=arr[:, 0].astype(np.int64),
+        arc_next=arr[:, 1].astype(np.int32),
+        arc_ilabel=arr[:, 2].astype(np.int32),
+        arc_olabel=arr[:, 3].astype(np.int32),
+        arc_weight=arr[:, 4].astype(np.float32))
+
+
+def run_both(fst, tid2pdf, logp, config, delta_lm=None):
+    oracle = OracleDecoder(fst, tid2pdf, am_scale=config.am_scale,
+                           beam=config.beam, beam_size=config.beam_size,
+                           max_eps_iters=config.max_eps_iters,
+                           delta_lm=delta_lm)
+    for row in logp:
+        oracle.process(row)
+    oracle_hyp = oracle.best_path(end_of_stream=True)
+
+    dec = Decoder(fst, tid2pdf, am_scale=config.am_scale, delta_lm=delta_lm,
+                  config=config, chunk_frames=7)
+    dec.process(logp)
+    dec.end_of_stream()
+    device_hyp = dec.best_path()
+    return oracle_hyp, device_hyp
+
+
+SMALL_CFG = BeamConfig(beam_size=128, expand_size=1024, eps_expand_size=512,
+                       max_eps_iters=6, beam=1e9, am_scale=0.1)
+
+
+class TestDeviceVsOracle:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_graphs_unpruned(self, seed):
+        rng = np.random.RandomState(seed)
+        fst = random_fst(rng)
+        num_trans = 10
+        tid2pdf = np.arange(num_trans + 1, dtype=np.int32)
+        logp = np.log(rng.dirichlet(np.ones(num_trans + 1),
+                                    size=15)).astype(np.float32)
+        o, d = run_both(fst, tid2pdf, logp, SMALL_CFG)
+        assert d.words == o.words, f"seed {seed}"
+        assert abs(d.weight - o.weight) < 1e-3
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_phone_loop_graph(self, seed):
+        rng = np.random.RandomState(100 + seed)
+        graph = make_phone_loop_graph(rng, num_words=5, num_pdfs=24)
+        fst = FlatFst.from_raw(graph.fst)
+        t = 30
+        logp = np.log(rng.dirichlet(np.ones(24), size=t)).astype(np.float32)
+        o, d = run_both(fst, graph.tid2pdf, logp, SMALL_CFG)
+        assert d.words == o.words
+        assert len(d.words) > 0  # something must be decoded
+        assert abs(d.weight - o.weight) < 1e-3
+
+    def test_with_beam_threshold(self):
+        """Narrow beam active in both: identical pruning decisions."""
+        rng = np.random.RandomState(7)
+        fst = random_fst(rng, num_states=20)
+        tid2pdf = np.arange(11, dtype=np.int32)
+        logp = np.log(rng.dirichlet(np.ones(11), size=20)).astype(np.float32)
+        cfg = BeamConfig(beam_size=128, expand_size=1024, eps_expand_size=512,
+                         max_eps_iters=6, beam=8.0, am_scale=0.1)
+        o, d = run_both(fst, tid2pdf, logp, cfg)
+        assert d.words == o.words
+        assert abs(d.weight - o.weight) < 1e-3
+
+    def test_partial_hypothesis(self):
+        """best_path before end_of_stream skips final weights."""
+        rng = np.random.RandomState(3)
+        graph = make_phone_loop_graph(rng, num_words=4, num_pdfs=16)
+        fst = FlatFst.from_raw(graph.fst)
+        logp = np.log(rng.dirichlet(np.ones(16), size=12)).astype(np.float32)
+
+        oracle = OracleDecoder(fst, graph.tid2pdf, beam=1e9)
+        dec = Decoder(fst, graph.tid2pdf, config=SMALL_CFG, chunk_frames=4)
+        for row in logp:
+            oracle.process(row)
+        dec.process(logp)
+        dec._flush(force=True)  # decode everything without EOS flag
+        o = oracle.best_path(end_of_stream=False)
+        d = dec.best_path()
+        assert d.words == o.words
+
+
+class TestDeltaLm:
+    @pytest.fixture(scope="class")
+    def delta(self, data_dir):
+        import os
+        lm = LmFst.read_lm(os.path.join(data_dir, "G.pfst"))
+        table = SymbolTable.read(os.path.join(data_dir, "lm.words.txt"))
+        from catears_tpu.io.binfmt import read_vec0_file
+        small = read_vec0_file(os.path.join(data_dir, "lm.1order.bin"))
+        return DeltaLmFst(small, lm, table)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_device_vs_oracle_with_lm(self, delta, seed):
+        """Online big-LM composition: decode states are (hclg, lm) pairs."""
+        rng = np.random.RandomState(200 + seed)
+        vocab = delta.small_lm.size
+        # Random HCLG-ish graph whose olabels are real LM word-ids
+        arcs = []
+        num_states, num_trans = 10, 8
+        for s in range(num_states):
+            for _ in range(rng.randint(1, 4)):
+                dst = rng.randint(0, num_states)
+                ilabel = rng.randint(1, num_trans + 1)
+                olabel = rng.randint(3, min(vocab, 200))
+                arcs.append((s, dst, ilabel, olabel, rng.rand() * 2))
+            # epsilon arc without olabel
+            if s + 1 < num_states:
+                arcs.append((s, s + 1, 0, 0, rng.rand() + 0.1))
+        arr = np.array(arcs, dtype=np.float64)
+        final = np.zeros(num_states, np.float32)
+        fst = FlatFst.from_arrays(
+            start=0, final=final,
+            state_of_arc=arr[:, 0].astype(np.int64),
+            arc_next=arr[:, 1].astype(np.int32),
+            arc_ilabel=arr[:, 2].astype(np.int32),
+            arc_olabel=arr[:, 3].astype(np.int32),
+            arc_weight=arr[:, 4].astype(np.float32))
+        tid2pdf = np.arange(num_trans + 1, dtype=np.int32)
+        logp = np.log(rng.dirichlet(np.ones(num_trans + 1),
+                                    size=10)).astype(np.float32)
+        o, d = run_both(fst, tid2pdf, logp, SMALL_CFG, delta_lm=delta)
+        assert d.words == o.words
+        assert abs(d.weight - o.weight) < 1e-2
+
+
+class TestBatchDecode:
+    def test_batch_matches_single(self):
+        rng = np.random.RandomState(9)
+        graph = make_phone_loop_graph(rng, num_words=5, num_pdfs=24)
+        fst = FlatFst.from_raw(graph.fst)
+        b, tmax = 3, 25
+        lengths = [25, 17, 9]
+        logp = np.log(rng.dirichlet(np.ones(24), size=(b, tmax))
+                      ).astype(np.float32)
+        hyps = decode_batch(fst, graph.tid2pdf, logp, lengths,
+                            config=SMALL_CFG, chunk_frames=10)
+        for u in range(b):
+            dec = Decoder(fst, graph.tid2pdf, config=SMALL_CFG)
+            dec.process(logp[u, :lengths[u]])
+            dec.end_of_stream()
+            single = dec.best_path()
+            assert hyps[u].words == single.words
+            assert abs(hyps[u].weight - single.weight) < 1e-3
