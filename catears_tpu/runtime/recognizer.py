@@ -1,0 +1,139 @@
+"""Recognizer / Utterance runtime (ce_stt lifecycle parity).
+
+Mirrors the reference public API semantics (reference src/ce_stt.h:40-76,
+src/ce_stt.cc):
+
+  Recognizer(config)       ~ ce_stt_init: loads HCLG, AM, symbol table,
+                             optional big LM (keys `large_lm`+`original_lm`)
+  recognizer.create_utterance(format) ~ ce_utt_init (am_scale 0.1 hardcoded
+                             at src/ce_stt.cc:263)
+  utt.process(bytes)       ~ ce_stt_process: bytes -> samples -> fbank ->
+                             AM chunks -> decoder frames; partial hypothesis
+                             refresh every 20 decoded frames
+  utt.end_of_stream()      ~ ce_stt_end_of_stream
+  utt.hyp, utt.loglikelihood_per_frame
+
+Additions over the reference: optional online CMVN between fbank and the AM
+(config key `cmvn_stats`; the reference shipped CMVN unwired), and batch
+decoding across utterances (see catears_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from catears_tpu.am.model import AcousticModel, AMStream
+from catears_tpu.decode.beam import BeamConfig
+from catears_tpu.decode.decoder import Decoder
+from catears_tpu.decode.oracle import Hypothesis
+from catears_tpu.frontend.cmvn import CMVNStream
+from catears_tpu.frontend.fbank import Fbank, FbankStream
+from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst
+from catears_tpu.io.binfmt import read_vec0_file
+from catears_tpu.io.config import Configuration
+from catears_tpu.io.symbols import SymbolTable
+from catears_tpu.io.wav import WaveFormat, WaveReader
+from catears_tpu.utils.errors import CorruptionError
+
+AM_SCALE = 0.1  # hardcoded in the reference, src/ce_stt.cc:263
+PARTIAL_HYP_INTERVAL = 20  # frames, src/ce_stt.cc:326-328
+
+
+class Recognizer:
+    def __init__(self, config_path: str,
+                 beam_config: Optional[BeamConfig] = None):
+        conf = Configuration.read(config_path)
+        self.conf = conf
+        self.fst = FlatFst.read(conf.get_path("fst"))
+        self.am = AcousticModel.read(conf)
+        self.symbol_table = SymbolTable.read(conf.get_path("symbol_table"))
+        self.delta_lm = self._read_delta_lm(conf)
+        self.cmvn_stats = None
+        if conf.has("cmvn_stats"):
+            self.cmvn_stats = read_vec0_file(conf.get_path("cmvn_stats"))
+        self.fbank = Fbank()
+        self.beam_config = beam_config or BeamConfig(am_scale=AM_SCALE)
+
+    def _read_delta_lm(self, conf: Configuration) -> Optional[DeltaLmFst]:
+        large_lm_file = conf.get_path("large_lm", "")
+        if not large_lm_file:
+            return None
+        original_lm_file = conf.get_path("original_lm", "")
+        if not original_lm_file:
+            raise CorruptionError(
+                f"unable to find key 'original_lm' in {conf.filename}")
+        small_lm = read_vec0_file(original_lm_file)
+        lm = LmFst.read_lm(large_lm_file)
+        return DeltaLmFst(small_lm, lm, self.symbol_table)
+
+    def create_utterance(self, fmt: WaveFormat) -> "Utterance":
+        return Utterance(self, fmt)
+
+
+class Utterance:
+    def __init__(self, recognizer: Recognizer, fmt: WaveFormat):
+        self.recognizer = recognizer
+        self.wave_reader = WaveReader()
+        self.wave_reader.set_format(fmt)
+        self.fbank_stream = FbankStream(recognizer.fbank)
+        self.cmvn_stream = (CMVNStream(recognizer.cmvn_stats)
+                            if recognizer.cmvn_stats is not None else None)
+        self.am_stream = AMStream(recognizer.am)
+        self.decoder = Decoder(
+            recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
+            delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
+            chunk_frames=PARTIAL_HYP_INTERVAL)
+        self.hyp = ""
+        self.loglikelihood_per_frame = 0.0
+        self._last_partial_at = 0
+
+    def process(self, data: bytes) -> int:
+        """Feed raw PCM bytes; returns the number of samples consumed."""
+        samples = self.wave_reader.process(data)
+        if samples.size == 0:
+            return 0
+        feats = self.fbank_stream.process(samples)
+        if self.cmvn_stream is not None and feats.shape[0]:
+            feats = self.cmvn_stream.process(feats)
+        logp = self.am_stream.process(feats)
+        if logp.shape[0]:
+            self.decoder.process(logp)
+            decoded = self.decoder.num_frames_decoded
+            if decoded - self._last_partial_at >= PARTIAL_HYP_INTERVAL:
+                self._store_hyp(end_of_stream=False)
+                self._last_partial_at = decoded
+        return int(samples.size)
+
+    def end_of_stream(self) -> None:
+        logp = self.am_stream.end_of_stream()
+        if logp.shape[0]:
+            self.decoder.process(logp)
+        self.decoder.end_of_stream()
+        self._store_hyp(end_of_stream=True)
+
+    def _store_hyp(self, end_of_stream: bool) -> None:
+        self.decoder.is_end_of_stream = end_of_stream
+        hyp = self.decoder.best_path()
+        table = self.recognizer.symbol_table
+        self.hyp = " ".join(table.get(w) for w in hyp.words)
+        frames = max(self.decoder.num_frames_decoded, 1)
+        self.loglikelihood_per_frame = hyp.weight / frames
+
+
+def decode_wav_file(recognizer: Recognizer, path: str,
+                    chunk_bytes: int = 1024) -> str:
+    """Decode one wav file streamed in fixed-size chunks (CLI parity)."""
+    from catears_tpu.io.wav import read_pcm_header
+
+    with open(path, "rb") as fd:
+        fmt = read_pcm_header(fd)
+        utt = recognizer.create_utterance(fmt)
+        while True:
+            chunk = fd.read(chunk_bytes)
+            if not chunk:
+                break
+            utt.process(chunk)
+    utt.end_of_stream()
+    return utt.hyp

@@ -1,0 +1,107 @@
+"""End-to-end runtime tests: wav bytes -> hypothesis through the full stack.
+
+The reference ships no acoustic model, so E2E uses the synthetic toy model:
+real 16 kHz audio -> fbank -> toy TDNN AM -> phone-loop WFST decode.  The
+E2E oracle check runs the same features/logp through the numpy oracle
+decoder and requires an identical transcript.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from catears_tpu.decode.beam import BeamConfig
+from catears_tpu.decode.oracle import OracleDecoder
+from catears_tpu.frontend.fbank import Fbank
+from catears_tpu.graph.fst import FlatFst
+from catears_tpu.io.wav import WaveFormat, read_16k_pcm, read_pcm_header
+from catears_tpu.runtime import capi
+from catears_tpu.runtime.recognizer import Recognizer, decode_wav_file
+from catears_tpu.tools.toy import write_toy_model
+
+TEST_BEAM = BeamConfig(beam_size=256, expand_size=2048, eps_expand_size=1024,
+                       max_eps_iters=6, beam=1e9, am_scale=0.1)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("e2e_model")
+    write_toy_model(str(out), num_words=5, hidden=32, num_pdfs=24)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def recognizer(model_dir):
+    return Recognizer(os.path.join(model_dir, "toy.conf"),
+                      beam_config=TEST_BEAM)
+
+
+class TestEndToEnd:
+    def test_wav_to_hyp_matches_oracle(self, recognizer, data_dir):
+        wav_path = os.path.join(data_dir, "en-us-hello.wav")
+        hyp = decode_wav_file(recognizer, wav_path)
+
+        # Oracle pipeline: batch fbank -> batch AM -> oracle decode
+        wave = read_16k_pcm(wav_path)
+        feats = Fbank().compute(wave)
+        logp = recognizer.am.forward(feats)
+        oracle = OracleDecoder(recognizer.fst, recognizer.am.tid2pdf,
+                               am_scale=0.1, beam=1e9)
+        for row in logp:
+            oracle.process(row)
+        expected = " ".join(recognizer.symbol_table.get(w)
+                            for w in oracle.best_path().words)
+        assert hyp == expected
+        assert len(hyp) > 0
+
+    def test_streaming_chunk_sizes_agree(self, recognizer, data_dir):
+        """Byte chunking must not change the transcript."""
+        wav_path = os.path.join(data_dir, "en-us-cat.wav")
+        h1 = decode_wav_file(recognizer, wav_path, chunk_bytes=1024)
+        h2 = decode_wav_file(recognizer, wav_path, chunk_bytes=313)
+        assert h1 == h2
+
+    def test_capi_wrappers(self, model_dir, data_dir):
+        rec = capi.ce_stt_init(os.path.join(model_dir, "toy.conf"))
+        assert rec is not None
+        wav_path = os.path.join(data_dir, "en-us-hello.wav")
+        with open(wav_path, "rb") as fd:
+            fmt = capi.ce_read_pcm_header(fd)
+            assert fmt is not None
+            utt = capi.ce_utt_init(rec, fmt)
+            assert utt is not None
+            while True:
+                chunk = fd.read(1024)
+                if not chunk:
+                    break
+                assert capi.ce_stt_process(utt, chunk) != capi.CE_STT_FAILED
+        capi.ce_stt_end_of_stream(utt)
+        assert isinstance(utt.hyp, str)
+        assert utt.loglikelihood_per_frame != 0.0
+
+    def test_capi_error_path(self):
+        assert capi.ce_stt_init("/nonexistent/config") is None
+        assert "nonexistent" in capi.ce_stt_last_error()
+
+
+class TestCli:
+    def test_cli_wav_and_scp(self, model_dir, data_dir, tmp_path):
+        scp = tmp_path / "test.scp"
+        scp.write_text(
+            f"hello {os.path.join(data_dir, 'en-us-hello.wav')}\n"
+            f"cat {os.path.join(data_dir, 'en-us-cat.wav')}\n")
+        env = dict(os.environ, JAX_PLATFORMS="")
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "import catears_tpu.cli as c, sys;"
+             f"sys.exit(c.main(['{model_dir}/toy.conf', '{scp}']))"],
+            capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr
+        lines = out.stdout.strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].startswith("hello ")
+        assert lines[1].startswith("cat ")
