@@ -65,15 +65,20 @@ class BeamState(NamedTuple):
 
 
 class FrameTrace(NamedTuple):
-    """Per-frame backpointer arena (host backtrace input).
+    """Per-frame compact backpointers, resolved on device.
 
-    arena_parent encoding: >= 0 -> same-frame arena id;
-    < 0 -> previous frame's beam slot -(v+1).
+    For each beam slot (after the frame's epsilon closure):
+      prev_slot — the slot in the PREVIOUS frame's beam this token came
+                  from, or -1 at the decode root.
+      words     — up to W = max_eps_iters + 1 output labels emitted on the
+                  way (newest first, 0-padded).
+
+    This replaces the reference's olabel linked lists (src/decoder.h:237-268)
+    and keeps per-frame host traffic to K*(1+W) ints.
     """
 
-    bp_ids: jnp.ndarray  # i32 [K] final arena id per beam slot
-    arena_parent: jnp.ndarray  # i32 [M]
-    arena_olabel: jnp.ndarray  # i32 [M]
+    prev_slot: jnp.ndarray  # i32 [K]
+    words: jnp.ndarray  # i32 [K, W]
 
 
 def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b,
@@ -215,6 +220,26 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     return beam, arena_parent, arena_olabel
 
 
+def _resolve_chains(cfg: BeamConfig, bp: jnp.ndarray, arena_parent,
+                    arena_olabel) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Walk each slot's same-frame arena chain -> (prev_slot, words[K, W])."""
+    k = cfg.beam_size
+    w = cfg.max_eps_iters + 1
+    words = jnp.zeros((k, w), jnp.int32)
+    prev_slot = jnp.full((k,), -1, jnp.int32)
+    cur = bp
+    active = jnp.ones((k,), jnp.bool_)
+    for h in range(w):
+        o = arena_olabel[cur]
+        p = arena_parent[cur]
+        words = words.at[:, h].set(jnp.where(active, o, 0))
+        ended = active & (p < 0)
+        prev_slot = jnp.where(ended, -p - 1, prev_slot)
+        cur = jnp.where(active & (p >= 0), p, cur)
+        active = active & (p >= 0)
+    return prev_slot, words
+
+
 def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                 beam: BeamState, logp: jnp.ndarray, frame_valid: jnp.ndarray):
     """One decode frame for one utterance; identity when frame_valid is 0."""
@@ -222,24 +247,22 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         cfg, dfst, dlm, beam, logp)
     new_beam, arena_parent, arena_olabel = _eps_closure(
         cfg, dfst, dlm, new_beam, arena_parent, arena_olabel, cutoff)
+    prev_slot, words = _resolve_chains(cfg, new_beam.bp, arena_parent,
+                                       arena_olabel)
 
     # Identity trace for padded frames: every slot chains to itself in the
     # previous frame with no output.
     k = cfg.beam_size
     slots = jnp.arange(k, dtype=jnp.int32)
-    id_parent = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(-(slots + 1))
     keep = lambda a, b: jnp.where(frame_valid, a, b)  # noqa: E731
     out_beam = BeamState(keep(new_beam.states, beam.states),
                          keep(new_beam.lm, beam.lm),
                          keep(new_beam.costs, beam.costs),
-                         keep(new_beam.bp, slots))
+                         slots)
     trace = FrameTrace(
-        bp_ids=keep(new_beam.bp, slots),
-        arena_parent=keep(arena_parent, id_parent),
-        arena_olabel=keep(arena_olabel, jnp.zeros_like(arena_olabel)),
+        prev_slot=keep(prev_slot, slots),
+        words=jnp.where(frame_valid, words, jnp.zeros_like(words)),
     )
-    # Padded frames must leave the beam recoverable: when invalid, bp resets
-    # to slot identity so the next valid frame references the right slots.
     return out_beam, trace
 
 
@@ -260,7 +283,11 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     arena_olabel = jnp.zeros((cfg.arena_size,), jnp.int32)
     beam, arena_parent, arena_olabel = _eps_closure(
         cfg, dfst, dlm, beam, arena_parent, arena_olabel, INF)
-    trace = FrameTrace(beam.bp, arena_parent, arena_olabel)
+    _, words = _resolve_chains(cfg, beam.bp, arena_parent, arena_olabel)
+    # The init pseudo-frame has no predecessor: every chain roots here.
+    trace = FrameTrace(jnp.full((k,), -1, jnp.int32), words)
+    beam = BeamState(beam.states, beam.lm, beam.costs,
+                     jnp.arange(k, dtype=jnp.int32))
     return beam, trace
 
 

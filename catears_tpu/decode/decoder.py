@@ -27,10 +27,9 @@ from catears_tpu.graph.fst import DeltaLmFst, FlatFst
 
 def _traces_to_host(trace, num_valid: int, utt: int) -> List[HostTrace]:
     """Slice a stacked [C, B, ...] FrameTrace to per-frame host traces."""
-    bp = np.asarray(trace.bp_ids[:, utt])
-    par = np.asarray(trace.arena_parent[:, utt])
-    ola = np.asarray(trace.arena_olabel[:, utt])
-    return [HostTrace(bp[f], par[f], ola[f]) for f in range(num_valid)]
+    prev = np.asarray(trace.prev_slot[:, utt])
+    words = np.asarray(trace.words[:, utt])
+    return [HostTrace(prev[f], words[f]) for f in range(num_valid)]
 
 
 class Decoder:
@@ -60,9 +59,8 @@ class Decoder:
                                       self.dlm)
         self.beam = beam
         self.traces: List[HostTrace] = [
-            HostTrace(np.asarray(trace.bp_ids[0]),
-                      np.asarray(trace.arena_parent[0]),
-                      np.asarray(trace.arena_olabel[0]))
+            HostTrace(np.asarray(trace.prev_slot[0]),
+                      np.asarray(trace.words[0]))
         ]
         self._pending: List[np.ndarray] = []
         self.num_frames_decoded = 0
@@ -121,9 +119,8 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
 
     beam, init_trace = init_beam_batch(config, has_lm, b, dfst, dlm)
     all_traces: List[List[HostTrace]] = [
-        [HostTrace(np.asarray(init_trace.bp_ids[u]),
-                   np.asarray(init_trace.arena_parent[u]),
-                   np.asarray(init_trace.arena_olabel[u]))]
+        [HostTrace(np.asarray(init_trace.prev_slot[u]),
+                   np.asarray(init_trace.words[u]))]
         for u in range(b)
     ]
     len_arr = np.asarray(lengths)
@@ -134,13 +131,12 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         valid = (off + np.arange(chunk_frames))[:, None] < len_arr[None, :]
         beam, trace = decode_chunk(config, has_lm, dfst, dlm, beam,
                                    jnp.asarray(chunk), jnp.asarray(valid))
-        bp = np.asarray(trace.bp_ids)
-        par = np.asarray(trace.arena_parent)
-        ola = np.asarray(trace.arena_olabel)
+        prev = np.asarray(trace.prev_slot)
+        words = np.asarray(trace.words)
         for u in range(b):
             n_valid = int(np.clip(len_arr[u] - off, 0, chunk_frames))
             for f in range(n_valid):
-                all_traces[u].append(HostTrace(bp[f, u], par[f, u], ola[f, u]))
+                all_traces[u].append(HostTrace(prev[f, u], words[f, u]))
 
     states = np.asarray(beam.states)
     lms = np.asarray(beam.lm)

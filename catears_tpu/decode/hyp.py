@@ -18,38 +18,26 @@ from catears_tpu.graph.fst import DeltaLmFst, FlatFst
 
 @dataclass
 class HostTrace:
-    """One frame's trace for one utterance (numpy copies of FrameTrace)."""
+    """One frame's compact trace for one utterance (numpy FrameTrace)."""
 
-    bp_ids: np.ndarray  # i32 [K]
-    arena_parent: np.ndarray  # i32 [M]
-    arena_olabel: np.ndarray  # i32 [M]
+    prev_slot: np.ndarray  # i32 [K]
+    words: np.ndarray  # i32 [K, W] newest-first, 0-padded
 
 
 def backtrace(traces: List[HostTrace], slot: int) -> List[int]:
-    """Follow the chain from `slot` in the last trace back to the root."""
+    """Follow prev_slot links from `slot` in the last trace to the root."""
     if not traces:
         return []
     words_rev: List[int] = []
-    f = len(traces) - 1
-    arena_id = int(traces[f].bp_ids[slot])
-    guard = 0
-    max_steps = sum(t.arena_parent.size for t in traces) + len(traces)
-    while f >= 0:
+    cur = slot
+    for f in range(len(traces) - 1, -1, -1):
         t = traces[f]
-        olabel = int(t.arena_olabel[arena_id])
-        if olabel > 0:
-            words_rev.append(olabel)
-        parent = int(t.arena_parent[arena_id])
-        if parent >= 0:
-            arena_id = parent  # same-frame chain (epsilon hop)
-        else:
-            prev_slot = -parent - 1
-            f -= 1
-            if f >= 0:
-                arena_id = int(traces[f].bp_ids[prev_slot])
-        guard += 1
-        if guard > max_steps:
-            raise RuntimeError("backtrace did not terminate (cyclic trace)")
+        for w in t.words[cur]:
+            if w > 0:
+                words_rev.append(int(w))
+        cur = int(t.prev_slot[cur])
+        if cur < 0:
+            break
     return words_rev[::-1]
 
 
