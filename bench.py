@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark: full-pipeline ASR throughput on one chip.
+
+Pipeline measured end to end on device: raw 16 kHz samples -> fbank
+(DFT-as-matmul) -> TDNN acoustic model -> batched WFST Viterbi beam search
+-> on-device backtrace.  Metric is audio-seconds decoded per wall-clock
+second per chip (xRT).  The reference publishes no numbers (BASELINE.md), so
+vs_baseline is the multiple of real-time: 1.0 == decoding as fast as the
+audio plays, which is what the reference's single-threaded mobile CPU target
+aspires to.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_bench_setup(batch: int, seconds: float, seed: int = 0):
+    import jax.numpy as jnp
+
+    from catears_tpu.am.model import AcousticModel
+    from catears_tpu.am.nnet import build_nnet
+    from catears_tpu.decode.beam import BeamConfig
+    from catears_tpu.graph.device import DeviceFst
+    from catears_tpu.graph.fst import FlatFst
+    from catears_tpu.tools.toy import make_phone_loop_graph, make_toy_nnet
+
+    rng = np.random.RandomState(seed)
+    num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
+    hidden = int(os.environ.get("BENCH_HIDDEN", 1024))
+    num_words = int(os.environ.get("BENCH_WORDS", 2000))
+    graph = make_phone_loop_graph(rng, num_words=num_words,
+                                  phones_per_word=(3, 6), num_pdfs=num_pdfs)
+    nnet = make_toy_nnet(rng, hidden=hidden, num_pdfs=num_pdfs,
+                         num_tdnn_layers=5)
+    nnet_def, params = build_nnet(nnet)
+    prior = np.full(num_pdfs, 1.0 / num_pdfs, np.float32)
+    am = AcousticModel(nnet_def, params, np.log(prior), graph.tid2pdf,
+                       nnet.left_context, nnet.right_context,
+                       chunk_size=50, num_pdfs=num_pdfs)
+    fst = FlatFst.from_raw(graph.fst)
+    dfst = DeviceFst.build(fst, graph.tid2pdf)
+    cfg = BeamConfig(
+        beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
+        expand_size=int(os.environ.get("BENCH_EXPAND", 32768)),
+        eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 4096)),
+        max_eps_iters=3,
+        beam=16.0,
+    )
+    samples = int(seconds * 16000)
+    wave = (rng.randn(batch, samples) * 1000).astype(np.float32)
+    return am, fst, dfst, cfg, jnp.asarray(wave)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from catears_tpu.decode.beam import (
+        FrameTrace,
+        backtrace_device,
+        decode_chunk,
+        init_beam_batch,
+    )
+    from catears_tpu.decode.hyp import assemble_words
+    from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
+
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    chunk = int(os.environ.get("BENCH_CHUNK", 100))
+    am, fst, dfst, cfg, wave = build_bench_setup(batch, seconds)
+    t_frames = num_frames(wave.shape[1])
+
+    @jax.jit
+    def am_forward(wave):
+        def one(w):
+            feats = fbank_from_wave(w, t_frames)
+            padded = jnp.concatenate([
+                jnp.repeat(feats[:1], am.left_context, axis=0),
+                feats,
+                jnp.repeat(feats[-1:], am.right_context, axis=0),
+            ])
+            return am.forward_padded(padded)
+
+        return jax.vmap(one)(wave)  # [B, T, P]
+
+    def run_once():
+        logp = am_forward(wave)
+        logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P]
+        beam, init_trace = init_beam_batch(cfg, False, batch, dfst, None)
+        chunks = []
+        for off in range(0, t_frames, chunk):
+            n = min(chunk, t_frames - off)
+            lp = jax.lax.dynamic_slice_in_dim(logp_t, off, n, axis=0) \
+                if n == chunk else logp_t[off:off + n]
+            valid = jnp.ones((n, batch), bool)
+            beam, trace = decode_chunk(cfg, False, dfst, None, beam, lp,
+                                       valid)
+            chunks.append(trace)
+        traces = FrameTrace(
+            jnp.concatenate([init_trace.prev_slot[None]]
+                            + [c.prev_slot for c in chunks]),
+            jnp.concatenate([init_trace.words[None]]
+                            + [c.words for c in chunks]))
+        total = beam.costs + jnp.where(
+            beam.states >= 0, dfst.final[jnp.maximum(beam.states, 0)],
+            jnp.inf)
+        has_final = jnp.isfinite(total).any(axis=1)
+        best_slots = jnp.where(has_final, jnp.argmin(total, axis=1),
+                               jnp.argmin(beam.costs, axis=1)).astype(
+                                   jnp.int32)
+        words = backtrace_device(traces, best_slots)
+        return np.asarray(words), np.asarray(beam.costs)
+
+    # Warmup / compile
+    words, costs = run_once()
+    hyp0 = assemble_words(words[0])
+    assert np.isfinite(costs).any(), "beam died"
+
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        words, costs = run_once()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    audio_seconds = batch * seconds
+    value = audio_seconds / best
+    print(json.dumps({
+        "metric": "audio_seconds_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "xRT",
+        "vs_baseline": round(value, 3),
+    }))
+    print(f"# batch={batch} x {seconds}s, frames={t_frames}, "
+          f"beam={cfg.beam_size}, times={[round(t, 3) for t in times]}, "
+          f"hyp0_words={len(hyp0)}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

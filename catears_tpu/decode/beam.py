@@ -81,8 +81,7 @@ class FrameTrace(NamedTuple):
     words: jnp.ndarray  # i32 [K, W]
 
 
-def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b,
-                 payload_c):
+def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
     """Dedup by (state, lm) keeping min cost, then exact top-K by cost.
 
     Stable 3-key sort means ties keep input order, so earlier entries win —
@@ -90,8 +89,8 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b,
     Returns (BeamState fields without bp) + payloads gathered at kept slots.
     """
     k = cfg.beam_size
-    (s_states, s_lms, s_costs, s_a, s_b, s_c) = jax.lax.sort(
-        (states, lms, costs, payload_a, payload_b, payload_c), num_keys=3)
+    (s_states, s_lms, s_costs, s_a, s_b) = jax.lax.sort(
+        (states, lms, costs, payload_a, payload_b), num_keys=3)
     first = jnp.ones_like(s_states, jnp.bool_)
     first = first.at[1:].set((s_states[1:] != s_states[:-1])
                              | (s_lms[1:] != s_lms[:-1]))
@@ -105,54 +104,67 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b,
         jnp.where(valid, top_costs, INF),
         s_a[idx],
         s_b[idx],
-        s_c[idx],
     )
 
 
 def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
             emitting: bool):
-    """Map expansion slots -> (token index, arc index) over the CSR spans."""
-    state_c = jnp.clip(beam.states, 0, dfst.offsets.shape[0] - 2)
+    """Map expansion slots -> (token, arc, weight, next, olabel, pdf).
+
+    CSR expansion without binary searches: scatter each token's start
+    position into the slot array and cummax-fill, so slot ownership is one
+    scatter + one cumulative max.  All per-arc fields come from a single
+    row gather of the packed arc table.
+    """
+    k = cfg.beam_size
+    state_c = jnp.clip(beam.states, 0, dfst.num_states - 1)
     valid_tok = beam.states >= 0
-    lo = dfst.offsets[state_c]
-    n_eps = dfst.n_eps[state_c]
-    n_all = dfst.offsets[state_c + 1] - lo
+    sp = dfst.state_packed[state_c]  # [K, 4] single row gather
+    lo, n_eps, n_emit = sp[:, 0], sp[:, 1], sp[:, 2]
     if emitting:
         span_start = lo + n_eps
-        span_len = jnp.where(valid_tok, n_all - n_eps, 0)
+        span_len = jnp.where(valid_tok, n_emit, 0)
     else:
         span_start = lo
         span_len = jnp.where(valid_tok, n_eps, 0)
     cum = jnp.cumsum(span_len)
     total = cum[-1]
-    e = jnp.arange(capacity, dtype=jnp.int32)
-    tok = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    tok_c = jnp.minimum(tok, cfg.beam_size - 1)
     cum_before = cum - span_len
-    arc_idx = span_start[tok_c] + (e - cum_before[tok_c])
-    valid_e = e < total
-    arc_idx = jnp.clip(arc_idx, 0, dfst.arc_next.shape[0] - 1)
-    return tok_c, arc_idx, valid_e
+    slots = jnp.arange(k, dtype=jnp.int32)
+    owner = jnp.full((capacity,), -1, jnp.int32).at[cum_before].max(
+        jnp.where(span_len > 0, slots, -1), mode="drop")
+    tok = jax.lax.cummax(owner)
+    tok_c = jnp.clip(tok, 0, k - 1)
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    off_in_span = e - cum_before[tok_c]
+    valid_e = (e < total) & (tok >= 0) & (off_in_span < span_len[tok_c])
+    arc_idx = jnp.clip(span_start[tok_c] + off_in_span, 0,
+                       dfst.num_arcs - 1)
+    ap = dfst.arc_packed[arc_idx]  # [E, 4] single row gather
+    next_state = ap[:, 0]
+    olabel = ap[:, 1]
+    weight = jax.lax.bitcast_convert_type(ap[:, 2], jnp.float32)
+    pdf = ap[:, 3]
+    return tok_c, valid_e, next_state, olabel, weight, pdf
 
 
 def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                    beam: BeamState, logp: jnp.ndarray):
     """Relax all emitting arcs; returns deduped/pruned beam + bp block 0."""
-    tok, arc_idx, valid_e = _expand(cfg, dfst, beam, cfg.expand_size, True)
-    next_state = dfst.arc_next[arc_idx]
-    olabel = dfst.arc_olabel[arc_idx]
-    ac_cost = -cfg.am_scale * logp[dfst.arc_pdf[arc_idx]]
-    cost = beam.costs[tok] + dfst.arc_weight[arc_idx] + ac_cost
-    lm_state = beam.lm[tok]
+    tok, valid_e, next_state, olabel, weight, pdf = _expand(
+        cfg, dfst, beam, cfg.expand_size, True)
+    ac_cost = -cfg.am_scale * logp[pdf]
+    cost = beam.costs[tok] + weight + ac_cost
     if dlm is not None:
-        lm_state, lm_w = lm_propagate(dlm, lm_state, olabel)
+        lm_state, lm_w = lm_propagate(dlm, beam.lm[tok], olabel)
         cost = cost + lm_w
+    else:
+        lm_state = jnp.zeros_like(next_state)
     cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
     cand_cost = jnp.where(valid_e, cost, INF)
     parent_enc = -(tok + 1)  # previous-frame slot reference
-    states, lms, costs, parent, olab, _ = _select_best(
-        cfg, cand_state, lm_state, cand_cost, parent_enc, olabel,
-        jnp.zeros_like(olabel))
+    states, lms, costs, parent, olab = _select_best(
+        cfg, cand_state, lm_state, cand_cost, parent_enc, olabel)
     # Beam threshold: exact equivalent of the adaptive cutoff
     cutoff = costs[0] + cfg.beam
     keep = costs <= cutoff
@@ -169,7 +181,13 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
 
 def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                  beam: BeamState, arena_parent, arena_olabel, cutoff):
-    """Bounded fixpoint epsilon closure (ProcessNonemitting equivalent)."""
+    """Bounded epsilon closure (ProcessNonemitting equivalent).
+
+    When the graph's epsilon depth is known statically (acyclic eps
+    subgraph), exactly that many relaxation rounds are run with no
+    convergence check — saving the fixpoint-confirmation pass every frame
+    and skipping the closure entirely for epsilon-free graphs.
+    """
     k = cfg.beam_size
 
     def cond(carry):
@@ -178,31 +196,32 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
 
     def body(carry):
         beam, arena_parent, arena_olabel, j, _ = carry
-        tok, arc_idx, valid_e = _expand(cfg, dfst, beam,
-                                        cfg.eps_expand_size, False)
-        next_state = dfst.arc_next[arc_idx]
-        olabel = dfst.arc_olabel[arc_idx]
-        cost = beam.costs[tok] + dfst.arc_weight[arc_idx]
-        lm_state = beam.lm[tok]
+        tok, valid_e, next_state, olabel, weight, _pdf = _expand(
+            cfg, dfst, beam, cfg.eps_expand_size, False)
+        cost = beam.costs[tok] + weight
         if dlm is not None:
-            lm_state, lm_w = lm_propagate(dlm, lm_state, olabel)
+            lm_state, lm_w = lm_propagate(dlm, beam.lm[tok], olabel)
             cost = cost + lm_w
+        else:
+            lm_state = jnp.zeros_like(next_state)
         valid_e = valid_e & (cost <= cutoff)
         cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
         cand_cost = jnp.where(valid_e, cost, INF)
-        # Merge current beam (is_cand=0, keeps its bp id) with candidates
-        # (is_cand=1, parent = source token's bp id).  Beam entries come
-        # first so stable sort keeps them on cost ties (strict improvement).
+        # Merge current beam with candidates.  Beam entries come first so
+        # the stable sort keeps them on cost ties (strict improvement).
+        # Candidate refs are offset by arena_size to mark is_cand in one
+        # payload array.
+        m = cfg.arena_size
         m_states = jnp.concatenate([beam.states, cand_state])
         m_lms = jnp.concatenate([beam.lm, lm_state])
         m_costs = jnp.concatenate([beam.costs, cand_cost])
-        m_ref = jnp.concatenate([beam.bp, beam.bp[tok]])
+        m_ref = jnp.concatenate([beam.bp, beam.bp[tok] + m])
         m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), olabel])
-        m_iscand = jnp.concatenate([jnp.zeros_like(beam.bp),
-                                    jnp.ones_like(olabel)])
-        states, lms, costs, ref, olab, iscand = _select_best(
-            cfg, m_states, m_lms, m_costs, m_ref, m_olab, m_iscand)
-        accepted = (iscand == 1) & (states >= 0)
+        states, lms, costs, ref_enc, olab = _select_best(
+            cfg, m_states, m_lms, m_costs, m_ref, m_olab)
+        iscand = ref_enc >= m
+        ref = jnp.where(iscand, ref_enc - m, ref_enc)
+        accepted = iscand & (states >= 0)
         base = (1 + j) * k
         slot_ids = base + jnp.arange(k, dtype=jnp.int32)
         new_bp = jnp.where(accepted, slot_ids, ref)
@@ -213,10 +232,18 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         new_beam = BeamState(states, lms, costs, new_bp)
         return new_beam, arena_parent, arena_olabel, j + 1, jnp.any(accepted)
 
-    init = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
-            jnp.bool_(True))
-    beam, arena_parent, arena_olabel, _, _ = jax.lax.while_loop(
-        cond, body, init)
+    static_depth = dfst.eps_depth
+    if static_depth is not None and static_depth <= cfg.max_eps_iters:
+        carry = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
+                 jnp.bool_(True))
+        for _ in range(static_depth):
+            carry = body(carry)
+        beam, arena_parent, arena_olabel, _, _ = carry
+    else:
+        init = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
+                jnp.bool_(True))
+        beam, arena_parent, arena_olabel, _, _ = jax.lax.while_loop(
+            cond, body, init)
     return beam, arena_parent, arena_olabel
 
 
@@ -309,6 +336,31 @@ def decode_chunk(cfg: BeamConfig, has_lm: bool, dfst: DeviceFst,
         return step(b, lp, fv)
 
     return jax.lax.scan(scan_fn, beam, (logp, frame_valid))
+
+
+@jax.jit
+def backtrace_device(traces: FrameTrace, best_slots: jnp.ndarray):
+    """On-device backtrace: [T, B, ...] traces + [B] slots -> [B, T, W] words.
+
+    Words come out frame-indexed with newest-first order inside each frame;
+    assemble the final transcript by walking frames forward and reversing
+    within each frame (see hyp.assemble_words).
+    """
+
+    def one(traces_u: FrameTrace, slot0):
+        def step(carry, tr):
+            slot, active = carry
+            w = jnp.where(active, tr.words[slot], 0)
+            nxt = tr.prev_slot[slot]
+            new_slot = jnp.where(active & (nxt >= 0), nxt, slot)
+            return (new_slot, active & (nxt >= 0)), w
+
+        slot0 = jnp.maximum(slot0, 0)
+        _, ws = jax.lax.scan(step, (slot0, jnp.bool_(True)), traces_u,
+                             reverse=True)
+        return ws
+
+    return jax.vmap(one, in_axes=(1, 0))(traces, best_slots)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))

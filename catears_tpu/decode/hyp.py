@@ -41,6 +41,18 @@ def backtrace(traces: List[HostTrace], slot: int) -> List[int]:
     return words_rev[::-1]
 
 
+def assemble_words(frame_words: np.ndarray) -> List[int]:
+    """[T, W] device-backtrace output -> transcript word-id list.
+
+    Each frame's W slots are newest-first, so the forward transcript walks
+    frames in order and reverses within each frame.
+    """
+    out: List[int] = []
+    for row in frame_words:
+        out.extend(int(w) for w in row[::-1] if w > 0)
+    return out
+
+
 def best_path(
     traces: List[HostTrace],
     states: np.ndarray,  # i32 [K] final beam HCLG states

@@ -24,41 +24,86 @@ from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst
 INT32_SENTINEL = np.int32(2**30)
 
 
-class DeviceFst(NamedTuple):
-    """HCLG graph as device arrays (arcs (state, ilabel)-sorted)."""
+def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
+    """Longest epsilon-arc chain, or None if cyclic/deeper than bound.
+
+    A known static depth lets the decoder run exactly that many closure
+    iterations with no fixpoint check (saving one full expand+sort pass
+    per frame, and the whole closure for epsilon-free graphs).
+    """
+    is_eps = fst.arc_ilabel == 0
+    state_of_arc = np.repeat(np.arange(fst.num_states),
+                             np.diff(fst.offsets))
+    src = state_of_arc[is_eps]
+    dst = fst.arc_next[is_eps]
+    if src.size == 0:
+        return 0
+    # depth[s] = longest eps path starting at s; relax to fixpoint
+    depth = np.zeros(fst.num_states, np.int64)
+    for _ in range(bound + 1):
+        new = depth.copy()
+        np.maximum.at(new, src, depth[dst] + 1)
+        if (new == depth).all():
+            return int(depth.max())
+        depth = new
+    return None  # cyclic or deeper than bound
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["start", "final", "state_packed", "arc_packed"],
+    meta_fields=["eps_depth"])
+@dataclasses.dataclass(frozen=True)
+class DeviceFst:
+    """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
+
+    Hot tables are packed row-wise so the beam search does ONE coalesced
+    gather per expansion slot instead of four scattered ones:
+      state_packed [S, 4] i32: (arc_lo, n_eps, n_emit, unused)
+      arc_packed   [A, 4] i32: (next, olabel, weight_bits(f32), pdf)
+    """
 
     start: jnp.ndarray  # i32 scalar
     final: jnp.ndarray  # f32 [S]
-    offsets: jnp.ndarray  # i32 [S+1]
-    n_eps: jnp.ndarray  # i32 [S]  epsilon arcs per state (span prefix)
-    arc_next: jnp.ndarray  # i32 [A]
-    arc_olabel: jnp.ndarray  # i32 [A]
-    arc_weight: jnp.ndarray  # f32 [A]
-    arc_pdf: jnp.ndarray  # i32 [A]  tid2pdf[ilabel] (0 for eps arcs)
+    state_packed: jnp.ndarray  # i32 [S, 4]
+    arc_packed: jnp.ndarray  # i32 [A, 4]
+    eps_depth: Optional[int]  # static: longest eps chain, None if unbounded
 
     @classmethod
     def build(cls, fst: FlatFst, tid2pdf: np.ndarray) -> "DeviceFst":
         offsets = fst.offsets.astype(np.int64)
-        # Count of ilabel==0 arcs at each span start (arcs ilabel-sorted).
-        n_eps = np.array([
-            np.searchsorted(fst.arc_ilabel[offsets[s]:offsets[s + 1]], 1)
-            for s in range(fst.num_states)
-        ], dtype=np.int32)
+        # Count of ilabel==0 arcs per state (they prefix each sorted span).
+        state_of_arc = np.repeat(np.arange(fst.num_states), np.diff(offsets))
+        n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
+                            minlength=fst.num_states).astype(np.int64)
         tid2pdf = np.asarray(tid2pdf, np.int32)
         arc_pdf = np.where(fst.arc_ilabel > 0,
                            tid2pdf[np.minimum(fst.arc_ilabel,
                                               tid2pdf.size - 1)],
                            0).astype(np.int32)
+        n_all = np.diff(offsets)
+        state_packed = np.stack([
+            offsets[:-1], n_eps, n_all - n_eps, np.zeros_like(n_eps)
+        ], axis=1).astype(np.int32)
+        arc_packed = np.stack([
+            fst.arc_next, fst.arc_olabel,
+            fst.arc_weight.view(np.int32), arc_pdf
+        ], axis=1).astype(np.int32)
         return cls(
             start=jnp.int32(fst.start),
             final=jnp.asarray(fst.final),
-            offsets=jnp.asarray(offsets, jnp.int32),
-            n_eps=jnp.asarray(n_eps),
-            arc_next=jnp.asarray(fst.arc_next),
-            arc_olabel=jnp.asarray(fst.arc_olabel),
-            arc_weight=jnp.asarray(fst.arc_weight),
-            arc_pdf=jnp.asarray(arc_pdf),
+            state_packed=jnp.asarray(state_packed),
+            arc_packed=jnp.asarray(arc_packed),
+            eps_depth=_eps_depth(fst),
         )
+
+    @property
+    def num_states(self) -> int:
+        return self.state_packed.shape[0]
+
+    @property
+    def num_arcs(self) -> int:
+        return self.arc_packed.shape[0]
 
 
 @functools.partial(
