@@ -47,8 +47,8 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     dfst = DeviceFst.build(fst, graph.tid2pdf)
     cfg = BeamConfig(
         beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
-        expand_size=int(os.environ.get("BENCH_EXPAND", 32768)),
-        eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 4096)),
+        expand_size=int(os.environ.get("BENCH_EXPAND", 8192)),
+        eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 2048)),
         max_eps_iters=3,
         beam=16.0,
     )
@@ -70,7 +70,7 @@ def main():
     from catears_tpu.decode.hyp import assemble_words
     from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
 
-    batch = int(os.environ.get("BENCH_BATCH", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     chunk = int(os.environ.get("BENCH_CHUNK", 100))
     am, fst, dfst, cfg, wave = build_bench_setup(batch, seconds)

@@ -109,17 +109,20 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
 
 def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
             emitting: bool):
-    """Map expansion slots -> (token, arc, weight, next, olabel, pdf).
+    """Map expansion slots -> (token, cost, lm, bp, arc next/olabel/weight/pdf).
 
-    CSR expansion without binary searches: scatter each token's start
-    position into the slot array and cummax-fill, so slot ownership is one
-    scatter + one cumulative max.  All per-arc fields come from a single
-    row gather of the packed arc table.
+    CSR expansion tuned for the TPU's gather cost model (per-row, width
+    nearly free): scatter each token's start position into the slot array
+    and cummax-fill for ownership, then exactly THREE row gathers:
+      1. token row  [E, 8] — per-token values packed per frame
+      2. arc row    [E, 4] — packed arc table
+      3. (caller) logp[pdf] for the acoustic cost
+    Binary searches and per-field gathers are avoided entirely.
     """
     k = cfg.beam_size
     state_c = jnp.clip(beam.states, 0, dfst.num_states - 1)
     valid_tok = beam.states >= 0
-    sp = dfst.state_packed[state_c]  # [K, 4] single row gather
+    sp = dfst.state_packed[state_c]  # [K, 4] row gather
     lo, n_eps, n_emit = sp[:, 0], sp[:, 1], sp[:, 2]
     if emitting:
         span_start = lo + n_eps
@@ -128,35 +131,48 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         span_start = lo
         span_len = jnp.where(valid_tok, n_eps, 0)
     cum = jnp.cumsum(span_len)
-    total = cum[-1]
     cum_before = cum - span_len
     slots = jnp.arange(k, dtype=jnp.int32)
     owner = jnp.full((capacity,), -1, jnp.int32).at[cum_before].max(
         jnp.where(span_len > 0, slots, -1), mode="drop")
     tok = jax.lax.cummax(owner)
     tok_c = jnp.clip(tok, 0, k - 1)
+
+    # Per-token row: (arc_base, cum, cost_bits, lm, bp, pad, pad, pad)
+    token_row = jnp.stack([
+        span_start - cum_before,
+        cum,
+        jax.lax.bitcast_convert_type(beam.costs, jnp.int32),
+        beam.lm,
+        beam.bp,
+        slots, slots, slots,
+    ], axis=1)  # [K, 8]
+    tr = token_row[tok_c]  # [E, 8] row gather
     e = jnp.arange(capacity, dtype=jnp.int32)
-    off_in_span = e - cum_before[tok_c]
-    valid_e = (e < total) & (tok >= 0) & (off_in_span < span_len[tok_c])
-    arc_idx = jnp.clip(span_start[tok_c] + off_in_span, 0,
-                       dfst.num_arcs - 1)
-    ap = dfst.arc_packed[arc_idx]  # [E, 4] single row gather
+    arc_idx = jnp.clip(tr[:, 0] + e, 0, dfst.num_arcs - 1)
+    valid_e = (tok >= 0) & (e < tr[:, 1])
+    tok_cost = jax.lax.bitcast_convert_type(tr[:, 2], jnp.float32)
+    tok_lm = tr[:, 3]
+    tok_bp = tr[:, 4]
+
+    ap = dfst.arc_packed[arc_idx]  # [E, 4] row gather
     next_state = ap[:, 0]
     olabel = ap[:, 1]
     weight = jax.lax.bitcast_convert_type(ap[:, 2], jnp.float32)
     pdf = ap[:, 3]
-    return tok_c, valid_e, next_state, olabel, weight, pdf
+    return (tok_c, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel,
+            weight, pdf)
 
 
 def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                    beam: BeamState, logp: jnp.ndarray):
     """Relax all emitting arcs; returns deduped/pruned beam + bp block 0."""
-    tok, valid_e, next_state, olabel, weight, pdf = _expand(
-        cfg, dfst, beam, cfg.expand_size, True)
+    (tok, valid_e, tok_cost, tok_lm, _tok_bp, next_state, olabel, weight,
+     pdf) = _expand(cfg, dfst, beam, cfg.expand_size, True)
     ac_cost = -cfg.am_scale * logp[pdf]
-    cost = beam.costs[tok] + weight + ac_cost
+    cost = tok_cost + weight + ac_cost
     if dlm is not None:
-        lm_state, lm_w = lm_propagate(dlm, beam.lm[tok], olabel)
+        lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
         cost = cost + lm_w
     else:
         lm_state = jnp.zeros_like(next_state)
@@ -196,11 +212,11 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
 
     def body(carry):
         beam, arena_parent, arena_olabel, j, _ = carry
-        tok, valid_e, next_state, olabel, weight, _pdf = _expand(
-            cfg, dfst, beam, cfg.eps_expand_size, False)
-        cost = beam.costs[tok] + weight
+        (tok, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel, weight,
+         _pdf) = _expand(cfg, dfst, beam, cfg.eps_expand_size, False)
+        cost = tok_cost + weight
         if dlm is not None:
-            lm_state, lm_w = lm_propagate(dlm, beam.lm[tok], olabel)
+            lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
             cost = cost + lm_w
         else:
             lm_state = jnp.zeros_like(next_state)
@@ -215,7 +231,7 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         m_states = jnp.concatenate([beam.states, cand_state])
         m_lms = jnp.concatenate([beam.lm, lm_state])
         m_costs = jnp.concatenate([beam.costs, cand_cost])
-        m_ref = jnp.concatenate([beam.bp, beam.bp[tok] + m])
+        m_ref = jnp.concatenate([beam.bp, tok_bp + m])
         m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), olabel])
         states, lms, costs, ref_enc, olab = _select_best(
             cfg, m_states, m_lms, m_costs, m_ref, m_olab)
