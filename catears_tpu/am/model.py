@@ -40,9 +40,13 @@ def _bucket(n: int, base: int = 16) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def _am_forward_jit(nnet_def: NnetDef, params: NnetParams,
-                    log_prior: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+                    log_prior: jnp.ndarray, feats: jnp.ndarray,
+                    quantized: bool = False) -> jnp.ndarray:
+    if quantized:
+        from catears_tpu.am.quant import nnet_forward_quant
+        return nnet_forward_quant(nnet_def, params, feats) - log_prior
     return nnet_forward(nnet_def, params, feats) - log_prior
 
 
@@ -50,9 +54,15 @@ class AcousticModel:
     def __init__(self, nnet_def: NnetDef, params: NnetParams,
                  log_prior: np.ndarray, tid2pdf: np.ndarray,
                  left_context: int, right_context: int, chunk_size: int,
-                 num_pdfs: int):
+                 num_pdfs: int, quantized: bool = False):
         self.nnet_def = nnet_def
-        self.params = params
+        self.float_params = params
+        self.quantized = quantized
+        if quantized:
+            from catears_tpu.am.quant import quantize_params
+            self.params = quantize_params(nnet_def, params)
+        else:
+            self.params = params
         self.log_prior = jnp.asarray(log_prior, jnp.float32)
         self.tid2pdf = np.asarray(tid2pdf, np.int32)
         self.left_context = left_context
@@ -71,8 +81,10 @@ class AcousticModel:
         chunk = conf.get_int("chunk_size")
         num_pdfs = conf.get_int("num_pdfs")
         tid2pdf = read_vec0_file(conf.get_path("tid2pdf"), np.int32)
+        quantized = conf.get_string("quantized", "false").lower() in (
+            "true", "1", "yes")
         return cls(nnet_def, params, log_prior, tid2pdf, left, right, chunk,
-                   num_pdfs)
+                   num_pdfs, quantized=quantized)
 
     # -- whole-utterance path (device, static shapes) ----------------------
 
@@ -82,6 +94,10 @@ class AcousticModel:
         Traceable; callers pad with replicated edge frames (equivalent to the
         reference's streaming padding + splice clamping).
         """
+        if self.quantized:
+            from catears_tpu.am.quant import nnet_forward_quant
+            return nnet_forward_quant(self.nnet_def, self.params,
+                                      feats) - self.log_prior
         return nnet_forward(self.nnet_def, self.params, feats) - self.log_prior
 
     def forward(self, feats: np.ndarray) -> np.ndarray:
@@ -100,7 +116,8 @@ class AcousticModel:
             np.repeat(feats[-1:], self.right_context + (t_pad - t), axis=0),
         ])
         out = _am_forward_jit(self.nnet_def, self.params, self.log_prior,
-                              jnp.asarray(padded, jnp.float32))
+                              jnp.asarray(padded, jnp.float32),
+                              self.quantized)
         return np.asarray(out[:t])
 
     def pad_context(self, feats: np.ndarray) -> np.ndarray:
@@ -135,7 +152,8 @@ class AMStream:
         while self._buffer.shape[0] >= window:
             batch_input = self._buffer[:window]
             out = _am_forward_jit(am.nnet_def, am.params, am.log_prior,
-                                  jnp.asarray(batch_input, jnp.float32))
+                                  jnp.asarray(batch_input, jnp.float32),
+                                  am.quantized)
             outputs.append(np.asarray(out))
             self._buffer = self._buffer[am.chunk_size:]
         if not outputs:
@@ -158,6 +176,7 @@ class AMStream:
                       am.right_context + (t_pad - t), axis=0),
         ])
         out = _am_forward_jit(am.nnet_def, am.params, am.log_prior,
-                              jnp.asarray(buf, jnp.float32))
+                              jnp.asarray(buf, jnp.float32),
+                              am.quantized)
         self._buffer = np.zeros((0, FEAT_DIM), np.float32)
         return np.asarray(out[:t])

@@ -1,0 +1,157 @@
+"""Int8 quantized acoustic-model path (Pallas MXU kernel).
+
+Reproduces the reference's latent quantized-GEMM capability with its exact
+quantization semantics (reference src/matrix.cc:348-420): per-tensor affine
+min/max quantization to uint8 with scale = (max-min)/255 and
+zero_point = round(-min/scale), and C = sA*sB*(A-zpA)(B-zpB).  The reference
+implemented and tested this via gemmlowp but never wired it into the nnet
+(src/nnet.cc:29 uses only the float path); here it IS wired, behind the
+`quantized = true` config key.
+
+TPU-native execution: values are stored shifted to int8 (v-128) and the MXU
+does the s8 x s8 -> s32 matmul in a tiled Pallas kernel; the zero-point
+cross terms are rank-1 corrections applied in the f32 epilogue:
+
+  (a - zpA)(b - zpB) = a'b' + cB*rowsum(a') + cA*colsum(b') + K*cA*cB
+  with a' = a-128, b' = b-128, cA = 128-zpA, cB = 128-zpB.
+
+Accuracy target: max_error / result_range < 1% (reference
+test/gemm_test.cc:120).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catears_tpu.am.nnet import NnetDef, NnetParams, narrow, normalize_rms, splice
+
+
+class QuantizedTensor(NamedTuple):
+    values: jnp.ndarray  # int8, stored as (uint8 value - 128)
+    scale: jnp.ndarray  # f32 scalar
+    zero_point: jnp.ndarray  # i32 scalar (uint8 domain)
+
+
+def quantize(x: jnp.ndarray) -> QuantizedTensor:
+    """Min/max affine quantization (reference Quantize semantics)."""
+    mn = jnp.min(x)
+    mx = jnp.max(x)
+    scale = (mx - mn) / 255.0
+    # Degenerate constant input (reference divides by zero here): pick a
+    # scale that represents the constant exactly.
+    flat_scale = jnp.where(mn == 0, 1.0, jnp.abs(mn) / 128.0)
+    scale = jnp.where(scale <= 0, flat_scale, scale)
+    zero_point = jnp.round(-mn / scale).astype(jnp.int32)
+    q = jnp.clip(jnp.round(x / scale) + zero_point, 0, 255)
+    return QuantizedTensor((q - 128).astype(jnp.int8),
+                           scale.astype(jnp.float32), zero_point)
+
+
+def _pad_to(x: jnp.ndarray, mult: Tuple[int, int]) -> jnp.ndarray:
+    pads = [(0, (-x.shape[i]) % mult[i]) for i in range(2)]
+    if any(p[1] for p in pads):
+        return jnp.pad(x, pads)
+    return x
+
+
+def _matmul_s8_kernel(a_ref, b_ref, out_ref):
+    out_ref[:] = jnp.dot(a_ref[:], b_ref[:],
+                         preferred_element_type=jnp.int32)
+
+
+def matmul_s8(a: jnp.ndarray, b: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """[M, K] s8 @ [K, N] s8 -> [M, N] s32 via a tiled Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2
+    tm, tn = 256, 256
+    a_p = _pad_to(a, (tm, 32))
+    b_p = _pad_to(b, (32, tn))
+    kp = max(a_p.shape[1], b_p.shape[0])
+    a_p = _pad_to(a_p, (tm, kp))[:, :kp]
+    b_p = _pad_to(b_p, (kp, tn))[:kp]
+    mp, np_ = a_p.shape[0], b_p.shape[1]
+    grid = (mp // tm, np_ // tn)
+    out = pl.pallas_call(
+        _matmul_s8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
+        interpret=interpret,
+    )(a_p, b_p)
+    return out[:m, :n]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def qmatmul(aq: QuantizedTensor, bq: QuantizedTensor,
+            interpret: bool = None) -> jnp.ndarray:
+    """Quantized matmul with f32 dequant epilogue (MatMat_U8U8F32 parity)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    a, b = aq.values, bq.values
+    k = a.shape[1]
+    dot = matmul_s8(a, b, interpret=interpret).astype(jnp.float32)
+    ca = (128 - aq.zero_point).astype(jnp.float32)
+    cb = (128 - bq.zero_point).astype(jnp.float32)
+    rowsum_a = jnp.sum(a.astype(jnp.int32), axis=1).astype(jnp.float32)
+    colsum_b = jnp.sum(b.astype(jnp.int32), axis=0).astype(jnp.float32)
+    acc = (dot + cb * rowsum_a[:, None] + ca * colsum_b[None, :]
+           + k * ca * cb)
+    return aq.scale * bq.scale * acc
+
+
+def quantize_params(nnet_def: NnetDef, params: NnetParams) -> List[dict]:
+    """Pre-quantize every linear layer's weights (bias stays f32)."""
+    out = []
+    for layer, p in zip(nnet_def, params):
+        if layer[0] == "linear":
+            out.append({"wq": quantize(p["w"]), "b": p["b"]})
+        else:
+            out.append(p)
+    return out
+
+
+def nnet_forward_quant(nnet_def: NnetDef, qparams: List[dict],
+                       x: jnp.ndarray) -> jnp.ndarray:
+    """Layer stack with int8 linears (activations quantized per call)."""
+    for layer, p in zip(nnet_def, qparams):
+        kind = layer[0]
+        if kind == "linear":
+            xq = quantize(x)
+            x = qmatmul(xq, p["wq"]) + p["b"]
+        elif kind == "relu":
+            x = jnp.maximum(x, 0.0)
+        elif kind == "normalize":
+            x = normalize_rms(x)
+        elif kind == "softmax":
+            x = jax.nn.softmax(x, axis=-1)
+        elif kind == "logsoftmax":
+            x = jax.nn.log_softmax(x, axis=-1)
+        elif kind == "splice":
+            x = splice(x, layer[1])
+        elif kind == "batchnorm":
+            x = x * p["scale"] + p["offset"]
+        elif kind == "narrow":
+            x = narrow(x, layer[1], layer[2])
+        else:
+            raise ValueError(f"unknown layer kind {kind}")
+    return x

@@ -1,0 +1,94 @@
+"""Int8 quantized GEMM and AM tests (reference test/gemm_test.cc pattern).
+
+Randomized differential: the Pallas int8 matmul with dequant epilogue vs the
+float matmul, accuracy criterion max_error / result_range < 1%
+(reference test/gemm_test.cc:120).  Pallas runs in interpret mode on the CPU
+test mesh; the same kernel compiles natively on TPU.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from catears_tpu.am.model import AcousticModel
+from catears_tpu.am.nnet import build_nnet, nnet_forward
+from catears_tpu.am.quant import (
+    nnet_forward_quant,
+    qmatmul,
+    quantize,
+    quantize_params,
+)
+from catears_tpu.io.config import Configuration
+from catears_tpu.tools.toy import make_toy_nnet, write_toy_model
+
+
+def relative_error(ref: np.ndarray, got: np.ndarray) -> float:
+    rng = ref.max() - ref.min()
+    return float(np.abs(ref - got).max() / max(rng, 1e-9))
+
+
+class TestQuantize:
+    def test_roundtrip_accuracy(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(64, 48).astype(np.float32) * 3
+        q = quantize(jnp.asarray(x))
+        deq = (np.asarray(q.values, np.int32) + 128
+               - int(q.zero_point)) * float(q.scale)
+        # one quantization step of error max
+        assert np.abs(deq - x).max() <= float(q.scale) * 0.51 + 1e-6
+
+    def test_constant_matrix(self):
+        q = quantize(jnp.full((8, 8), 2.5))
+        deq = (np.asarray(q.values, np.int32) + 128
+               - int(q.zero_point)) * float(q.scale)
+        assert np.abs(deq - 2.5).max() < 1e-5
+
+
+class TestQuantMatmul:
+    @pytest.mark.parametrize("shape", [(8, 16, 8), (30, 20, 10),
+                                       (100, 200, 300), (129, 65, 257)])
+    def test_vs_float(self, shape):
+        m, k, n = shape
+        rng = np.random.RandomState(sum(shape))
+        a = rng.randn(m, k).astype(np.float32)
+        b = (rng.randn(k, n).astype(np.float32) * 2 + 0.5)
+        ref = a @ b
+        got = np.asarray(qmatmul(quantize(jnp.asarray(a)),
+                                 quantize(jnp.asarray(b)), interpret=True))
+        err = relative_error(ref, got)
+        assert err < 0.01, f"relative error {err}"
+
+
+class TestQuantizedAM:
+    def test_quant_nnet_close_to_float(self):
+        rng = np.random.RandomState(3)
+        spec = make_toy_nnet(rng, hidden=64, num_pdfs=32)
+        nnet_def, params = build_nnet(spec)
+        qparams = quantize_params(nnet_def, params)
+        x = jnp.asarray(rng.randn(20, 40).astype(np.float32))
+        ref = np.asarray(nnet_forward(nnet_def, params, x))
+        got = np.asarray(nnet_forward_quant(nnet_def, qparams, x))
+        assert got.shape == ref.shape
+        # log-softmax outputs: compare probabilities
+        assert np.abs(np.exp(got) - np.exp(ref)).max() < 0.05
+
+    def test_config_wiring(self, tmp_path):
+        """`quantized = true` activates the int8 path end to end."""
+        write_toy_model(str(tmp_path), hidden=32, num_pdfs=24)
+        with open(tmp_path / "toy.conf", "a") as fd:
+            fd.write("quantized = true\n")
+        conf = Configuration.read(str(tmp_path / "toy.conf"))
+        am = AcousticModel.read(conf)
+        assert am.quantized
+        feats = np.random.RandomState(4).randn(30, 40).astype(np.float32)
+        out = am.forward(feats)
+        assert out.shape == (30, 24)
+        am_f = AcousticModel(am.nnet_def, am.float_params,
+                             np.asarray(am.log_prior), am.tid2pdf,
+                             am.left_context, am.right_context,
+                             am.chunk_size, am.num_pdfs, quantized=False)
+        ref = am_f.forward(feats)
+        assert np.abs(np.exp(out + np.log(1 / 24))
+                      - np.exp(ref + np.log(1 / 24))).max() < 0.05
