@@ -1,8 +1,10 @@
 """Command-line decoder (reference src/main.cc parity).
 
-Usage: python -m catears_tpu.cli <config-file> <input-file>
+Usage: python -m catears_tpu.cli [--batch[=N]] <config-file> <input-file>
   *.wav: decode this file, print the hypothesis.
   *.scp: decode `name path` entries, print `name hyp` per line.
+  --batch[=N]: decode scp entries N at a time in one batched device beam
+               search (default N=16) instead of one-by-one streaming.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from catears_tpu.runtime.recognizer import Recognizer, decode_wav_file
 
 
 def print_usage() -> None:
-    print("Usage: catears <model-config> <input-file>")
+    print("Usage: catears [--batch[=N]] <model-config> <input-file>")
     print("  Input-file:")
     print("    *.wav: decode this file.")
     print("    *.scp: decode audios listed in it.")
@@ -22,7 +24,15 @@ def print_usage() -> None:
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    batch_size = 0
+    for arg in list(argv):
+        if arg == "--batch":
+            batch_size = 16
+            argv.remove(arg)
+        elif arg.startswith("--batch="):
+            batch_size = int(arg.split("=", 1)[1])
+            argv.remove(arg)
     if len(argv) != 2:
         print_usage()
     config_file, input_file = argv
@@ -32,6 +42,11 @@ def main(argv=None) -> int:
     recognizer = Recognizer(config_file)
     if input_file.endswith(".wav"):
         print(decode_wav_file(recognizer, input_file))
+    elif batch_size > 0:
+        from catears_tpu.runtime.batch import decode_scp
+        for name, hyp in decode_scp(recognizer, input_file,
+                                    batch_size=batch_size):
+            print(f"{name} {hyp}")
     else:
         for name, wav_path in read_scp(input_file):
             hyp = decode_wav_file(recognizer, wav_path)

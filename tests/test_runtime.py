@@ -105,3 +105,23 @@ class TestCli:
         assert len(lines) == 2
         assert lines[0].startswith("hello ")
         assert lines[1].startswith("cat ")
+
+
+class TestBatchScp:
+    def test_batched_scp_matches_streaming(self, recognizer, model_dir,
+                                           data_dir, tmp_path):
+        """Batched multi-utterance decode == one-by-one streaming decode."""
+        from catears_tpu.runtime.batch import decode_scp
+        scp = tmp_path / "b.scp"
+        hello = os.path.join(data_dir, "en-us-hello.wav")
+        cat = os.path.join(data_dir, "en-us-cat.wav")
+        scp.write_text(f"u1 {hello}\nu2 {cat}\nu3 {hello}\n")
+        batched = decode_scp(recognizer, str(scp), batch_size=3)
+        assert [n for n, _ in batched] == ["u1", "u2", "u3"]
+        expected = {
+            "u1": decode_wav_file(recognizer, hello),
+            "u2": decode_wav_file(recognizer, cat),
+        }
+        assert dict(batched)["u1"] == expected["u1"]
+        assert dict(batched)["u2"] == expected["u2"]
+        assert dict(batched)["u3"] == expected["u1"]
