@@ -101,6 +101,26 @@ class Decoder:
                          self.delta_lm,
                          end_of_stream=self.is_end_of_stream)
 
+    # -- session checkpoint/resume (streaming state, SURVEY.md §5) ---------
+
+    def get_state(self) -> dict:
+        """Snapshot the decode session as plain numpy arrays."""
+        return {
+            "beam": tuple(np.asarray(x) for x in self.beam),
+            "traces": [(t.prev_slot.copy(), t.words.copy())
+                       for t in self.traces],
+            "pending": [r.copy() for r in self._pending],
+            "num_frames_decoded": self.num_frames_decoded,
+            "is_end_of_stream": self.is_end_of_stream,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.beam = BeamState(*(jnp.asarray(x) for x in state["beam"]))
+        self.traces = [HostTrace(p, w) for p, w in state["traces"]]
+        self._pending = [r.copy() for r in state["pending"]]
+        self.num_frames_decoded = state["num_frames_decoded"]
+        self.is_end_of_stream = state["is_end_of_stream"]
+
 
 def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  lengths: Optional[Sequence[int]] = None,

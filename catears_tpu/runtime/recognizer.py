@@ -113,6 +113,39 @@ class Utterance:
         self.decoder.end_of_stream()
         self._store_hyp(end_of_stream=True)
 
+    # -- session checkpoint/resume ----------------------------------------
+    # The reference keeps resumable mid-utterance state in its Instance
+    # objects (src/ce_stt.cc:53-60); here the whole session snapshots to
+    # plain numpy structures (picklable), restorable into a fresh Utterance.
+
+    def get_state(self) -> dict:
+        return {
+            "wave_buffer": bytes(self.wave_reader._buffer),
+            "fbank_buffer": self.fbank_stream._buffer.copy(),
+            "cmvn_history": (self.cmvn_stream._history.copy()
+                             if self.cmvn_stream is not None else None),
+            "am_buffer": (None if self.am_stream._buffer is None
+                          else self.am_stream._buffer.copy()),
+            "am_started": self.am_stream._started,
+            "decoder": self.decoder.get_state(),
+            "hyp": self.hyp,
+            "llh_per_frame": self.loglikelihood_per_frame,
+            "last_partial_at": self._last_partial_at,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.wave_reader._buffer = bytearray(state["wave_buffer"])
+        self.fbank_stream._buffer = state["fbank_buffer"].copy()
+        if self.cmvn_stream is not None and state["cmvn_history"] is not None:
+            self.cmvn_stream._history = state["cmvn_history"].copy()
+        self.am_stream._buffer = (None if state["am_buffer"] is None
+                                  else state["am_buffer"].copy())
+        self.am_stream._started = state["am_started"]
+        self.decoder.set_state(state["decoder"])
+        self.hyp = state["hyp"]
+        self.loglikelihood_per_frame = state["llh_per_frame"]
+        self._last_partial_at = state["last_partial_at"]
+
     def _store_hyp(self, end_of_stream: bool) -> None:
         self.decoder.is_end_of_stream = end_of_stream
         hyp = self.decoder.best_path()

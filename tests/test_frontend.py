@@ -86,3 +86,29 @@ class TestCMVN:
         stream = CMVNStream(stats)
         parts = [stream.process(feats[i:i + 17]) for i in range(0, 700, 17)]
         np.testing.assert_allclose(np.concatenate(parts), batch, atol=1e-5)
+
+
+class TestDftBasis:
+    def test_dft_matrix_matches_rfft(self):
+        """The MXU DFT basis == numpy rfft on zero-padded frames.
+
+        This is the srfft_test analogue: the reference validates its
+        split-radix FFT against golden outputs; here the DFT-as-matmul
+        formulation must match a trusted FFT to float32 precision.
+        """
+        from catears_tpu.frontend.fbank import _constants, FRAME_LENGTH
+
+        rng = np.random.RandomState(0)
+        _, dft, _ = _constants()
+        x = rng.randn(5, FRAME_LENGTH).astype(np.float32)
+        spec = x @ dft
+        re, im = spec[:, :257], spec[:, 257:]
+        padded = np.zeros((5, 512))
+        padded[:, :FRAME_LENGTH] = x
+        ref = np.fft.rfft(padded, axis=1)
+        np.testing.assert_allclose(re, ref.real, atol=2e-3)
+        np.testing.assert_allclose(im, ref.imag, atol=2e-3)
+        # Power spectra agree to float32 relative precision
+        p1 = re * re + im * im
+        p2 = np.abs(ref) ** 2
+        np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-3)

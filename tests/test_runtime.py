@@ -125,3 +125,33 @@ class TestBatchScp:
         assert dict(batched)["u1"] == expected["u1"]
         assert dict(batched)["u2"] == expected["u2"]
         assert dict(batched)["u3"] == expected["u1"]
+
+
+class TestSessionCheckpoint:
+    def test_snapshot_and_resume(self, recognizer, data_dir):
+        """Mid-utterance state snapshot restores into a fresh utterance."""
+        import pickle
+
+        from catears_tpu.io.wav import read_pcm_header
+        wav_path = os.path.join(data_dir, "en-us-hello.wav")
+        with open(wav_path, "rb") as fd:
+            fmt = read_pcm_header(fd)
+            payload = fd.read()
+        half = len(payload) // 2
+
+        # Uninterrupted decode
+        utt_ref = recognizer.create_utterance(fmt)
+        utt_ref.process(payload[:half])
+        utt_ref.process(payload[half:])
+        utt_ref.end_of_stream()
+
+        # Decode first half, snapshot (through pickle), resume elsewhere
+        utt_a = recognizer.create_utterance(fmt)
+        utt_a.process(payload[:half])
+        blob = pickle.dumps(utt_a.get_state())
+
+        utt_b = recognizer.create_utterance(fmt)
+        utt_b.set_state(pickle.loads(blob))
+        utt_b.process(payload[half:])
+        utt_b.end_of_stream()
+        assert utt_b.hyp == utt_ref.hyp
