@@ -98,12 +98,14 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
     neg_top, idx = jax.lax.top_k(-eff_cost, k)
     top_costs = -neg_top
     valid = jnp.isfinite(top_costs)
+    # One packed row gather for all kept fields (costs come from top_k)
+    packed = jnp.stack([s_states, s_lms, s_a, s_b], axis=1)[idx]
     return (
-        jnp.where(valid, s_states[idx], -1),
-        jnp.where(valid, s_lms[idx], 0),
+        jnp.where(valid, packed[:, 0], -1),
+        jnp.where(valid, packed[:, 1], 0),
         jnp.where(valid, top_costs, INF),
-        s_a[idx],
-        s_b[idx],
+        packed[:, 2],
+        packed[:, 3],
     )
 
 
@@ -165,11 +167,17 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
 
 
 def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
-                   beam: BeamState, logp: jnp.ndarray):
-    """Relax all emitting arcs; returns deduped/pruned beam + bp block 0."""
+                   beam: BeamState, logp_flat: jnp.ndarray,
+                   lane_offset: jnp.ndarray):
+    """Relax all emitting arcs; returns deduped/pruned beam + bp block 0.
+
+    logp_flat is the whole batch's [B*P] log-prob buffer shared across the
+    vmap; lane_offset = lane * P.  Sharing the operand turns the acoustic
+    lookup into one flat row gather instead of B scalar-unit gathers.
+    """
     (tok, valid_e, tok_cost, tok_lm, _tok_bp, next_state, olabel, weight,
      pdf) = _expand(cfg, dfst, beam, cfg.expand_size, True)
-    ac_cost = -cfg.am_scale * logp[pdf]
+    ac_cost = -cfg.am_scale * logp_flat[lane_offset + pdf]
     cost = tok_cost + weight + ac_cost
     if dlm is not None:
         lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
@@ -187,16 +195,17 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     states = jnp.where(keep, states, -1)
     costs = jnp.where(keep, costs, INF)
     k = cfg.beam_size
-    arena_parent = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(parent)
-    arena_olabel = jnp.zeros((cfg.arena_size,), jnp.int32).at[:k].set(
-        jnp.where(keep, olab, 0))
+    # Packed arena rows: (parent_enc, olabel) — one row gather per hop later
+    arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
+    arena = arena.at[:k, 0].set(parent)
+    arena = arena.at[:k, 1].set(jnp.where(keep, olab, 0))
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32))
-    return new_beam, arena_parent, arena_olabel, cutoff
+    return new_beam, arena, cutoff
 
 
 def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
-                 beam: BeamState, arena_parent, arena_olabel, cutoff):
+                 beam: BeamState, arena, cutoff):
     """Bounded epsilon closure (ProcessNonemitting equivalent).
 
     When the graph's epsilon depth is known statically (acyclic eps
@@ -207,11 +216,11 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     k = cfg.beam_size
 
     def cond(carry):
-        _, _, _, j, changed = carry
+        _, _, j, changed = carry
         return changed & (j < cfg.max_eps_iters)
 
     def body(carry):
-        beam, arena_parent, arena_olabel, j, _ = carry
+        beam, arena, j, _ = carry
         (tok, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel, weight,
          _pdf) = _expand(cfg, dfst, beam, cfg.eps_expand_size, False)
         cost = tok_cost + weight
@@ -241,40 +250,44 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         base = (1 + j) * k
         slot_ids = base + jnp.arange(k, dtype=jnp.int32)
         new_bp = jnp.where(accepted, slot_ids, ref)
-        arena_parent = jax.lax.dynamic_update_slice(
-            arena_parent, jnp.where(accepted, ref, 0), (base,))
-        arena_olabel = jax.lax.dynamic_update_slice(
-            arena_olabel, jnp.where(accepted, olab, 0), (base,))
+        block = jnp.stack([jnp.where(accepted, ref, 0),
+                           jnp.where(accepted, olab, 0)], axis=1)
+        arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
         new_beam = BeamState(states, lms, costs, new_bp)
-        return new_beam, arena_parent, arena_olabel, j + 1, jnp.any(accepted)
+        return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
     if static_depth is not None and static_depth <= cfg.max_eps_iters:
-        carry = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
-                 jnp.bool_(True))
+        carry = (beam, arena, jnp.zeros((), jnp.int32), jnp.bool_(True))
         for _ in range(static_depth):
             carry = body(carry)
-        beam, arena_parent, arena_olabel, _, _ = carry
+        beam, arena, _, _ = carry
     else:
-        init = (beam, arena_parent, arena_olabel, jnp.zeros((), jnp.int32),
-                jnp.bool_(True))
-        beam, arena_parent, arena_olabel, _, _ = jax.lax.while_loop(
-            cond, body, init)
-    return beam, arena_parent, arena_olabel
+        init = (beam, arena, jnp.zeros((), jnp.int32), jnp.bool_(True))
+        beam, arena, _, _ = jax.lax.while_loop(cond, body, init)
+    return beam, arena
 
 
-def _resolve_chains(cfg: BeamConfig, bp: jnp.ndarray, arena_parent,
-                    arena_olabel) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Walk each slot's same-frame arena chain -> (prev_slot, words[K, W])."""
+def _resolve_chains(cfg: BeamConfig, dfst: DeviceFst, bp: jnp.ndarray,
+                    arena) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Walk each slot's same-frame arena chain -> (prev_slot, words[K, W]).
+
+    Chain length is bounded by 1 + closure rounds actually run, so a known
+    static epsilon depth shortens the walk; one packed row gather per hop.
+    """
     k = cfg.beam_size
     w = cfg.max_eps_iters + 1
+    if dfst.eps_depth is not None:
+        hops = min(dfst.eps_depth, cfg.max_eps_iters) + 1
+    else:
+        hops = w
     words = jnp.zeros((k, w), jnp.int32)
     prev_slot = jnp.full((k,), -1, jnp.int32)
     cur = bp
     active = jnp.ones((k,), jnp.bool_)
-    for h in range(w):
-        o = arena_olabel[cur]
-        p = arena_parent[cur]
+    for h in range(hops):
+        row = arena[cur]  # [K, 2] packed (parent, olabel) row gather
+        p, o = row[:, 0], row[:, 1]
         words = words.at[:, h].set(jnp.where(active, o, 0))
         ended = active & (p < 0)
         prev_slot = jnp.where(ended, -p - 1, prev_slot)
@@ -284,14 +297,13 @@ def _resolve_chains(cfg: BeamConfig, bp: jnp.ndarray, arena_parent,
 
 
 def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
-                beam: BeamState, logp: jnp.ndarray, frame_valid: jnp.ndarray):
+                beam: BeamState, logp_flat: jnp.ndarray,
+                lane_offset: jnp.ndarray, frame_valid: jnp.ndarray):
     """One decode frame for one utterance; identity when frame_valid is 0."""
-    new_beam, arena_parent, arena_olabel, cutoff = _emitting_step(
-        cfg, dfst, dlm, beam, logp)
-    new_beam, arena_parent, arena_olabel = _eps_closure(
-        cfg, dfst, dlm, new_beam, arena_parent, arena_olabel, cutoff)
-    prev_slot, words = _resolve_chains(cfg, new_beam.bp, arena_parent,
-                                       arena_olabel)
+    new_beam, arena, cutoff = _emitting_step(cfg, dfst, dlm, beam, logp_flat,
+                                             lane_offset)
+    new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena, cutoff)
+    prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
 
     # Identity trace for padded frames: every slot chains to itself in the
     # previous frame with no output.
@@ -319,14 +331,12 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
     beam = BeamState(states, lms, costs, bp)
-    arena_parent = jnp.zeros((cfg.arena_size,), jnp.int32)
+    arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
     # Root entries terminate the backtrace: parent slot of a nonexistent
     # previous frame.
-    arena_parent = arena_parent.at[:k].set(-(bp + 1))
-    arena_olabel = jnp.zeros((cfg.arena_size,), jnp.int32)
-    beam, arena_parent, arena_olabel = _eps_closure(
-        cfg, dfst, dlm, beam, arena_parent, arena_olabel, INF)
-    _, words = _resolve_chains(cfg, beam.bp, arena_parent, arena_olabel)
+    arena = arena.at[:k, 0].set(-(bp + 1))
+    beam, arena = _eps_closure(cfg, dfst, dlm, beam, arena, INF)
+    _, words = _resolve_chains(cfg, dfst, beam.bp, arena)
     # The init pseudo-frame has no predecessor: every chain roots here.
     trace = FrameTrace(jnp.full((k,), -1, jnp.int32), words)
     beam = BeamState(beam.states, beam.lm, beam.costs,
@@ -343,13 +353,16 @@ def decode_chunk(cfg: BeamConfig, has_lm: bool, dfst: DeviceFst,
     beam fields are [B, K]; returns (beam', FrameTrace stacked [C, B, ...]).
     """
     dlm_ = dlm if has_lm else None
+    batch, p = logp.shape[1], logp.shape[2]
+    lane_offsets = jnp.arange(batch, dtype=jnp.int32) * p
     step = jax.vmap(
-        lambda b, lp, fv: _frame_step(cfg, dfst, dlm_, b, lp, fv),
-        in_axes=(0, 0, 0))
+        lambda b, lane_off, lp_flat, fv: _frame_step(
+            cfg, dfst, dlm_, b, lp_flat, lane_off, fv),
+        in_axes=(0, 0, None, 0))
 
     def scan_fn(b, inputs):
         lp, fv = inputs
-        return step(b, lp, fv)
+        return step(b, lane_offsets, lp.reshape(-1), fv)
 
     return jax.lax.scan(scan_fn, beam, (logp, frame_valid))
 
