@@ -61,6 +61,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: repeat bench runs skip the (minutes-long)
+    # XLA compile of the 1000-frame decode program.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/catears_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
     from catears_tpu.decode.beam import (
         FrameTrace,
         backtrace_device,
@@ -96,12 +105,18 @@ def main():
         chunks = []
         for off in range(0, t_frames, chunk):
             n = min(chunk, t_frames - off)
-            lp = jax.lax.dynamic_slice_in_dim(logp_t, off, n, axis=0) \
-                if n == chunk else logp_t[off:off + n]
-            valid = jnp.ones((n, batch), bool)
+            # Pad the tail to the full chunk length (single compiled shape)
+            if n == chunk:
+                lp = jax.lax.dynamic_slice_in_dim(logp_t, off, n, axis=0)
+            else:
+                lp = jnp.concatenate(
+                    [logp_t[off:off + n],
+                     jnp.zeros((chunk - n, batch, logp_t.shape[2]),
+                               jnp.float32)])
+            valid = jnp.zeros((chunk, batch), bool).at[:n].set(True)
             beam, trace = decode_chunk(cfg, False, dfst, None, beam, lp,
                                        valid)
-            chunks.append(trace)
+            chunks.append(jax.tree.map(lambda x: x[:n], trace))
         traces = FrameTrace(
             jnp.concatenate([init_trace.prev_slot[None]]
                             + [c.prev_slot for c in chunks]),

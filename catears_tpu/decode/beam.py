@@ -276,12 +276,12 @@ def _resolve_chains(cfg: BeamConfig, dfst: DeviceFst, bp: jnp.ndarray,
     static epsilon depth shortens the walk; one packed row gather per hop.
     """
     k = cfg.beam_size
-    w = cfg.max_eps_iters + 1
     if dfst.eps_depth is not None:
         hops = min(dfst.eps_depth, cfg.max_eps_iters) + 1
     else:
-        hops = w
-    words = jnp.zeros((k, w), jnp.int32)
+        hops = cfg.max_eps_iters + 1
+    # Trace word width == walk depth: smaller scan outputs for shallow graphs
+    words = jnp.zeros((k, hops), jnp.int32)
     prev_slot = jnp.full((k,), -1, jnp.int32)
     cur = bp
     active = jnp.ones((k,), jnp.bool_)
