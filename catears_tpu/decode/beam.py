@@ -299,14 +299,24 @@ def _resolve_chains(cfg: BeamConfig, dfst: DeviceFst, bp: jnp.ndarray,
 def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                 beam: BeamState, logp_flat: jnp.ndarray,
                 lane_offset: jnp.ndarray, frame_valid: jnp.ndarray):
-    """One decode frame for one utterance; identity when frame_valid is 0."""
+    """One decode frame for one utterance; identity when frame_valid is 0.
+
+    If the beam dies (no token survives the frame — e.g. a dead-end graph
+    region), the previous beam is frozen so BestPath still returns the last
+    valid partial hypothesis.  The reference's Process returns false and
+    relies on the caller to stop feeding frames (src/decoder.cc:74-79);
+    freezing is the safe equivalent for a batched decoder where other
+    utterances in the batch continue.
+    """
     new_beam, arena, cutoff = _emitting_step(cfg, dfst, dlm, beam, logp_flat,
                                              lane_offset)
     new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena, cutoff)
     prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
 
-    # Identity trace for padded frames: every slot chains to itself in the
-    # previous frame with no output.
+    died = ~jnp.isfinite(new_beam.costs[0])
+    frame_valid = frame_valid & ~died
+    # Identity trace for padded/dead frames: every slot chains to itself in
+    # the previous frame with no output.
     k = cfg.beam_size
     slots = jnp.arange(k, dtype=jnp.int32)
     keep = lambda a, b: jnp.where(frame_valid, a, b)  # noqa: E731

@@ -103,7 +103,14 @@ class OracleDecoder:
         self._eps_closure(math.inf)
 
     def process(self, logp: np.ndarray) -> bool:
-        """One frame of pdf log-probs; returns False when the beam dies."""
+        """One frame of pdf log-probs; returns False when the beam dies.
+
+        On death the previous beam is kept (frozen) so best_path still
+        returns the last valid partial hypothesis — matching the device
+        decoder's freeze semantics.
+        """
+        if getattr(self, "dead", False):
+            return False
         prev = self._sorted_items()
         self.tokens = {}
         for (state, lm_state), (cost, words) in prev:
@@ -122,6 +129,8 @@ class OracleDecoder:
                 if key not in self.tokens or total < self.tokens[key][0]:
                     self.tokens[key] = (total, new_words)
         if not self.tokens:
+            self.tokens = dict(prev)  # freeze the last valid beam
+            self.dead = True
             return False
         self._truncate(apply_beam=True)
         best = min(v[0] for v in self.tokens.values())

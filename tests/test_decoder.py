@@ -187,3 +187,28 @@ class TestBatchDecode:
             single = dec.best_path()
             assert hyps[u].words == single.words
             assert abs(hyps[u].weight - single.weight) < 1e-3
+
+
+class TestBeamDeath:
+    def test_dead_end_freezes_last_beam(self):
+        """A dead-end graph region must not wipe the partial hypothesis."""
+        # Chain: 0 -a(olabel 1)-> 1 -b(olabel 2)-> 2 (no outgoing arcs)
+        arcs = np.array([
+            (0, 1, 1, 1, 0.5),
+            (1, 2, 2, 2, 0.5),
+        ])
+        final = np.full(3, np.inf, np.float32)
+        final[2] = 0.0
+        fst = FlatFst.from_arrays(
+            start=0, final=final,
+            state_of_arc=arcs[:, 0].astype(np.int64),
+            arc_next=arcs[:, 1].astype(np.int32),
+            arc_ilabel=arcs[:, 2].astype(np.int32),
+            arc_olabel=arcs[:, 3].astype(np.int32),
+            arc_weight=arcs[:, 4].astype(np.float32))
+        tid2pdf = np.arange(3, dtype=np.int32)
+        logp = np.log(np.full((5, 3), 1 / 3, np.float32))  # 5 frames > path
+
+        o, d = run_both(fst, tid2pdf, logp, SMALL_CFG)
+        # Both survive past the death at frame 3 and keep the full path
+        assert d.words == o.words == [1, 2]
