@@ -34,8 +34,10 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
     hidden = int(os.environ.get("BENCH_HIDDEN", 1024))
     num_words = int(os.environ.get("BENCH_WORDS", 2000))
+    max_fanout = int(os.environ.get("BENCH_FANOUT", 0))
     graph = make_phone_loop_graph(rng, num_words=num_words,
-                                  phones_per_word=(3, 6), num_pdfs=num_pdfs)
+                                  phones_per_word=(3, 6), num_pdfs=num_pdfs,
+                                  max_fanout=max_fanout)
     nnet = make_toy_nnet(rng, hidden=hidden, num_pdfs=num_pdfs,
                          num_tdnn_layers=5)
     nnet_def, params = build_nnet(nnet)

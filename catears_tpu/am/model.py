@@ -14,7 +14,7 @@ programs so shapes stay static.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from catears_tpu.am.nnet import (
     NnetParams,
     build_nnet,
     nnet_forward,
-    rows_consumed,
 )
 from catears_tpu.io.binfmt import read_nnet_file, read_vec0_file
 from catears_tpu.io.config import Configuration

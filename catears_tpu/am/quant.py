@@ -21,7 +21,6 @@ test/gemm_test.cc:120).
 
 from __future__ import annotations
 
-import functools
 from typing import List, NamedTuple, Tuple
 
 import jax

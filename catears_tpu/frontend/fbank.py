@@ -18,8 +18,7 @@ TPU than a butterfly FFT (which would serialize on the VPU).
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst
+from catears_tpu.graph.fst import DeltaLmFst, FlatFst
 
 INT32_SENTINEL = np.int32(2**30)
 

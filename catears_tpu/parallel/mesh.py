@@ -19,7 +19,7 @@ axis is where throughput scales.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from catears_tpu.decode.beam import (
     decode_chunk,
     init_beam_batch,
 )
-from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
+from catears_tpu.frontend.fbank import fbank_from_wave
 from catears_tpu.graph.device import DeviceFst, DeviceLm
 
 

@@ -9,11 +9,10 @@ The reference CLI decodes scp entries strictly one at a time
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from catears_tpu.decode.beam import BeamConfig
 from catears_tpu.decode.decoder import decode_batch
 from catears_tpu.frontend.cmvn import OnlineCMVN
 from catears_tpu.io.wav import read_16k_pcm, read_scp

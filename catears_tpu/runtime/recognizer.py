@@ -20,14 +20,11 @@ decoding across utterances (see catears_tpu.parallel).
 
 from __future__ import annotations
 
-from typing import List, Optional
-
-import numpy as np
+from typing import Optional
 
 from catears_tpu.am.model import AcousticModel, AMStream
 from catears_tpu.decode.beam import BeamConfig
 from catears_tpu.decode.decoder import Decoder
-from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.frontend.cmvn import CMVNStream
 from catears_tpu.frontend.fbank import Fbank, FbankStream
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst, LmFst

@@ -63,7 +63,8 @@ class ToyGraph:
 
 def make_phone_loop_graph(rng: np.random.RandomState, num_words: int = 6,
                           phones_per_word: Tuple[int, int] = (2, 4),
-                          num_pdfs: int = 48) -> ToyGraph:
+                          num_pdfs: int = 48,
+                          max_fanout: int = 0) -> ToyGraph:
     """Phone-loop WFST: HCLG-like shape with self-loops and eps word arcs.
 
     State 0 is start and final.  Each word w spans a chain of phone states;
@@ -71,6 +72,11 @@ def make_phone_loop_graph(rng: np.random.RandomState, num_words: int = 6,
     (fresh transition-ids, distinct pdfs while available); the last forward
     arc leaves on an epsilon-input arc carrying the word olabel back to the
     loop state.
+
+    With max_fanout > 0, word entries hang off an epsilon tree of group
+    states so no state's out-degree exceeds ~max_fanout — the bounded-degree
+    graph shape large-vocabulary decoding needs (epsilon depth grows by the
+    tree height).
     """
     arcs = []  # (src, dst, ilabel, olabel, weight)
     states = 1  # state 0 = loop state
@@ -84,10 +90,31 @@ def make_phone_loop_graph(rng: np.random.RandomState, num_words: int = 6,
         tid2pdf.append((tid - 1) % num_pdfs)
         return tid
 
+    # Word entry points: state 0 directly, or an epsilon group tree
+    entry_of_word = [0] * (num_words + 1)
+    if max_fanout and num_words > max_fanout:
+        leaves = -(-num_words // max_fanout)
+        level = [0]
+        while len(level) < leaves:
+            nxt = []
+            for parent in level:
+                for _ in range(max_fanout):
+                    if len(nxt) == leaves:
+                        break
+                    g = states
+                    states += 1
+                    arcs.append((parent, g, 0, 0, 0.0))
+                    nxt.append(g)
+                if len(nxt) == leaves:
+                    break
+            level = nxt
+        for w in range(1, num_words + 1):
+            entry_of_word[w] = level[(w - 1) % len(level)]
+
     for w in range(1, num_words + 1):
         words.append(f"word{w}")
         n_phones = rng.randint(phones_per_word[0], phones_per_word[1] + 1)
-        prev = 0
+        prev = entry_of_word[w]
         for p in range(n_phones):
             cur = states
             states += 1
