@@ -122,3 +122,52 @@ class TestTranscriptParity:
         rec_pk = Recognizer(os.path.join(model_dir, "toy.conf"))
         assert (decode_wav_file(rec_const, wav_path)
                 == decode_wav_file(rec_pk, wav_path))
+
+
+def _write_wav(path, samples: np.ndarray):
+    """Write a canonical 16-bit mono 16 kHz wav file."""
+    import struct
+    pcm = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+    with open(path, "wb") as fd:
+        fd.write(b"RIFF")
+        fd.write(struct.pack("<i", 36 + len(pcm)))
+        fd.write(b"WAVEfmt ")
+        fd.write(struct.pack("<ihhiihh", 16, 1, 1, 16000, 32000, 2, 16))
+        fd.write(b"data")
+        fd.write(struct.pack("<i", len(pcm)))
+        fd.write(pcm)
+
+
+class TestScpBatchParity:
+    def test_batch_cer_zero_vs_reference(self, model_dir, tmp_path):
+        """10 synthetic utterances: reference scp decode vs our batched
+        decode must have CER 0 against each other."""
+        from catears_tpu.runtime.batch import decode_scp
+        from catears_tpu.tools.score import score
+
+        rng = np.random.RandomState(5)
+        scp = tmp_path / "batch.scp"
+        lines = []
+        for i in range(10):
+            wav = tmp_path / f"u{i}.wav"
+            seconds = rng.uniform(0.5, 1.5)
+            _write_wav(str(wav),
+                       rng.randn(int(16000 * seconds)) * 2000)
+            lines.append(f"utt{i} {wav}")
+        scp.write_text("\n".join(lines) + "\n")
+
+        ref_out = subprocess.run(
+            [REFERENCE_BIN, os.path.join(model_dir, "ref.conf"), str(scp)],
+            capture_output=True, text=True, timeout=600)
+        assert ref_out.returncode == 0, ref_out.stderr
+        ref_txt = tmp_path / "ref_hyp.txt"
+        ref_txt.write_text(ref_out.stdout)
+
+        rec = Recognizer(os.path.join(model_dir, "ref.conf"))
+        ours = decode_scp(rec, str(scp), batch_size=4)
+        hyp_txt = tmp_path / "our_hyp.txt"
+        hyp_txt.write_text("".join(f"{n} {h}\n" for n, h in ours))
+
+        result = score(str(ref_txt), str(hyp_txt), char_tok=True)
+        assert result.ref_tokens > 0
+        assert result.errors == 0, (ref_out.stdout, ours)
