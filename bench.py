@@ -10,6 +10,10 @@ audio plays, which is what the reference's single-threaded mobile CPU target
 aspires to.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+BENCH_MODE=streaming instead measures the latency-oriented single-utterance
+streaming path (Recognizer/Utterance byte-chunk API, the reference's usage
+pattern) in streamed audio-seconds per wall second.
 """
 
 import json
@@ -160,5 +164,65 @@ def main():
     return 0
 
 
+def main_streaming():
+    """Single-utterance streaming decode throughput (latency path)."""
+    import tempfile
+
+    import jax
+
+    from catears_tpu.decode.beam import BeamConfig
+    from catears_tpu.runtime.recognizer import Recognizer
+    from catears_tpu.io.wav import WaveFormat
+    from catears_tpu.tools.toy import write_toy_model
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/catears_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as model_dir:
+        conf = write_toy_model(model_dir, rng=rng, num_words=200, hidden=512,
+                               num_pdfs=1024)
+        cfg = BeamConfig(
+            beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
+            expand_size=int(os.environ.get("BENCH_EXPAND", 8192)),
+            eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 2048)),
+            max_eps_iters=3)
+        rec = Recognizer(conf, beam_config=cfg)
+        pcm = (rng.randn(int(seconds * 16000)) * 1000).astype("<i2").tobytes()
+        fmt = WaveFormat(1, 16000, 16)
+
+        def run():
+            utt = rec.create_utterance(fmt)
+            for off in range(0, len(pcm), 1024):
+                utt.process(pcm[off:off + 1024])
+            utt.end_of_stream()
+            return utt.hyp
+
+        run()  # warmup/compile
+        runs = int(os.environ.get("BENCH_RUNS", 3))
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+    value = seconds / min(times)
+    print(json.dumps({
+        "metric": "streaming_audio_seconds_per_sec",
+        "value": round(value, 3),
+        "unit": "xRT",
+        "vs_baseline": round(value, 3),
+    }))
+    print(f"# streaming 1 utt x {seconds}s, beam={cfg.beam_size}, "
+          f"times={[round(t, 3) for t in times]}", file=sys.stderr)
+    return 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_MODE") == "streaming":
+        sys.exit(main_streaming())
     sys.exit(main())

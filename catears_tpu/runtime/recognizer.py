@@ -70,18 +70,36 @@ class Recognizer:
 
 
 class Utterance:
-    def __init__(self, recognizer: Recognizer, fmt: WaveFormat):
+    """One streaming decode session.
+
+    Two execution paths with identical semantics:
+      - fused (default): fbank+AM+decode in one device program per
+        20-frame chunk (runtime/streaming.py) — the low-latency path
+      - componentized: FbankStream -> CMVNStream -> AMStream -> Decoder,
+        used when online CMVN is configured or fused=False
+    """
+
+    def __init__(self, recognizer: Recognizer, fmt: WaveFormat,
+                 fused: bool = True):
         self.recognizer = recognizer
         self.wave_reader = WaveReader()
         self.wave_reader.set_format(fmt)
-        self.fbank_stream = FbankStream(recognizer.fbank)
         self.cmvn_stream = (CMVNStream(recognizer.cmvn_stats)
                             if recognizer.cmvn_stats is not None else None)
-        self.am_stream = AMStream(recognizer.am)
         self.decoder = Decoder(
             recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
             delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
             chunk_frames=PARTIAL_HYP_INTERVAL)
+        self.session = None
+        if fused and self.cmvn_stream is None:
+            from catears_tpu.runtime.streaming import StreamingSession
+            self.session = StreamingSession(
+                recognizer.am, recognizer.fst, recognizer.delta_lm,
+                self.decoder.cfg, self.decoder.dfst, self.decoder.dlm,
+                chunk_frames=PARTIAL_HYP_INTERVAL)
+        else:
+            self.fbank_stream = FbankStream(recognizer.fbank)
+            self.am_stream = AMStream(recognizer.am)
         self.hyp = ""
         self.loglikelihood_per_frame = 0.0
         self._last_partial_at = 0
@@ -91,6 +109,13 @@ class Utterance:
         samples = self.wave_reader.process(data)
         if samples.size == 0:
             return 0
+        if self.session is not None:
+            self.session.process(samples)
+            decoded = self.session.num_frames_decoded
+            if decoded - self._last_partial_at >= PARTIAL_HYP_INTERVAL:
+                self._store_hyp(end_of_stream=False)
+                self._last_partial_at = decoded
+            return int(samples.size)
         feats = self.fbank_stream.process(samples)
         if self.cmvn_stream is not None and feats.shape[0]:
             feats = self.cmvn_stream.process(feats)
@@ -104,6 +129,10 @@ class Utterance:
         return int(samples.size)
 
     def end_of_stream(self) -> None:
+        if self.session is not None:
+            self.session.end_of_stream()
+            self._store_hyp(end_of_stream=True)
+            return
         logp = self.am_stream.end_of_stream()
         if logp.shape[0]:
             self.decoder.process(logp)
@@ -116,39 +145,77 @@ class Utterance:
     # plain numpy structures (picklable), restorable into a fresh Utterance.
 
     def get_state(self) -> dict:
-        return {
+        import numpy as np
+
+        state = {
             "wave_buffer": bytes(self.wave_reader._buffer),
-            "fbank_buffer": self.fbank_stream._buffer.copy(),
             "cmvn_history": (self.cmvn_stream._history.copy()
                              if self.cmvn_stream is not None else None),
-            "am_buffer": (None if self.am_stream._buffer is None
-                          else self.am_stream._buffer.copy()),
-            "am_started": self.am_stream._started,
-            "decoder": self.decoder.get_state(),
             "hyp": self.hyp,
             "llh_per_frame": self.loglikelihood_per_frame,
             "last_partial_at": self._last_partial_at,
         }
+        if self.session is not None:
+            s = self.session
+            s._materialize()
+            state["session"] = {
+                "samples": s._samples.copy(),
+                "consumed_frames": s._consumed_frames,
+                "ctx": None if s._ctx is None else np.asarray(s._ctx),
+                "beam": tuple(np.asarray(x) for x in s.beam),
+                "traces": [(t.prev_slot.copy(), t.words.copy())
+                           for t in s._host_traces],
+                "num_frames_decoded": s.num_frames_decoded,
+                "flushed": s._flushed,
+            }
+        else:
+            state["fbank_buffer"] = self.fbank_stream._buffer.copy()
+            state["am_buffer"] = (None if self.am_stream._buffer is None
+                                  else self.am_stream._buffer.copy())
+            state["am_started"] = self.am_stream._started
+            state["decoder"] = self.decoder.get_state()
+        return state
 
     def set_state(self, state: dict) -> None:
+        import jax.numpy as jnp
+
+        from catears_tpu.decode.beam import BeamState
+        from catears_tpu.decode.hyp import HostTrace
+
         self.wave_reader._buffer = bytearray(state["wave_buffer"])
-        self.fbank_stream._buffer = state["fbank_buffer"].copy()
         if self.cmvn_stream is not None and state["cmvn_history"] is not None:
             self.cmvn_stream._history = state["cmvn_history"].copy()
-        self.am_stream._buffer = (None if state["am_buffer"] is None
-                                  else state["am_buffer"].copy())
-        self.am_stream._started = state["am_started"]
-        self.decoder.set_state(state["decoder"])
+        if self.session is not None:
+            s = self.session
+            ss = state["session"]
+            s._samples = ss["samples"].copy()
+            s._consumed_frames = ss["consumed_frames"]
+            s._ctx = (None if ss["ctx"] is None else jnp.asarray(ss["ctx"]))
+            s.beam = BeamState(*(jnp.asarray(x) for x in ss["beam"]))
+            s._host_traces = [HostTrace(p, w) for p, w in ss["traces"]]
+            s._dev_traces = []
+            s.num_frames_decoded = ss["num_frames_decoded"]
+            s._flushed = ss["flushed"]
+        else:
+            self.fbank_stream._buffer = state["fbank_buffer"].copy()
+            self.am_stream._buffer = (None if state["am_buffer"] is None
+                                      else state["am_buffer"].copy())
+            self.am_stream._started = state["am_started"]
+            self.decoder.set_state(state["decoder"])
         self.hyp = state["hyp"]
         self.loglikelihood_per_frame = state["llh_per_frame"]
         self._last_partial_at = state["last_partial_at"]
 
     def _store_hyp(self, end_of_stream: bool) -> None:
-        self.decoder.is_end_of_stream = end_of_stream
-        hyp = self.decoder.best_path()
+        if self.session is not None:
+            hyp = self.session.best_path(end_of_stream)
+            frames = max(self.session.num_frames_decoded, 1)
+        else:
+            self.decoder.is_end_of_stream = end_of_stream
+            hyp = self.decoder.best_path()
+            frames = max(self.decoder.num_frames_decoded, 1)
         table = self.recognizer.symbol_table
         self.hyp = " ".join(table.get(w) for w in hyp.words)
-        frames = max(self.decoder.num_frames_decoded, 1)
         self.loglikelihood_per_frame = hyp.weight / frames
 
 

@@ -1,0 +1,90 @@
+"""Fused streaming session equivalence tests.
+
+The one-dispatch-per-chunk fused path must produce EXACTLY the same
+transcript as the componentized FbankStream -> AMStream -> Decoder path on
+real audio, across chunkings and odd utterance lengths.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from catears_tpu.decode.beam import BeamConfig
+from catears_tpu.io.wav import read_pcm_header
+from catears_tpu.runtime.recognizer import Recognizer, Utterance
+from catears_tpu.tools.toy import write_toy_model
+
+TEST_BEAM = BeamConfig(beam_size=256, expand_size=2048, eps_expand_size=1024,
+                       max_eps_iters=6, beam=1e9, am_scale=0.1)
+
+
+@pytest.fixture(scope="module")
+def recognizer(tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_model")
+    write_toy_model(str(out), num_words=5, hidden=32, num_pdfs=24)
+    return Recognizer(os.path.join(str(out), "toy.conf"),
+                      beam_config=TEST_BEAM)
+
+
+def decode_with(recognizer, wav_path, fused: bool, chunk_bytes: int = 1024,
+                truncate: int = 0):
+    with open(wav_path, "rb") as fd:
+        fmt = read_pcm_header(fd)
+        payload = fd.read()
+    if truncate:
+        payload = payload[:truncate]
+    utt = Utterance(recognizer, fmt, fused=fused)
+    for off in range(0, len(payload), chunk_bytes):
+        utt.process(payload[off:off + chunk_bytes])
+    utt.end_of_stream()
+    return utt.hyp
+
+
+class TestFusedStreaming:
+    @pytest.mark.parametrize("wav", ["en-us-hello.wav", "en-us-cat.wav"])
+    def test_fused_equals_componentized(self, recognizer, data_dir, wav):
+        path = os.path.join(data_dir, wav)
+        h_fused = decode_with(recognizer, path, fused=True)
+        h_comp = decode_with(recognizer, path, fused=False)
+        assert h_fused == h_comp
+        assert len(h_fused) > 0
+
+    def test_chunking_invariance(self, recognizer, data_dir):
+        path = os.path.join(data_dir, "en-us-hello.wav")
+        h1 = decode_with(recognizer, path, fused=True, chunk_bytes=1024)
+        h2 = decode_with(recognizer, path, fused=True, chunk_bytes=517)
+        h3 = decode_with(recognizer, path, fused=True, chunk_bytes=100000)
+        assert h1 == h2 == h3
+
+    @pytest.mark.parametrize("truncate", [500, 4000, 9001])
+    def test_short_and_ragged_utterances(self, recognizer, data_dir,
+                                         truncate):
+        """EOS flush paths (never-started + mid-chunk) match componentized."""
+        path = os.path.join(data_dir, "en-us-hello.wav")
+        h_fused = decode_with(recognizer, path, fused=True,
+                              truncate=truncate)
+        h_comp = decode_with(recognizer, path, fused=False,
+                             truncate=truncate)
+        assert h_fused == h_comp
+
+    def test_checkpoint_resume_fused(self, recognizer, data_dir):
+        import pickle
+        path = os.path.join(data_dir, "en-us-cat.wav")
+        with open(path, "rb") as fd:
+            fmt = read_pcm_header(fd)
+            payload = fd.read()
+        half = len(payload) // 2
+
+        ref = Utterance(recognizer, fmt, fused=True)
+        ref.process(payload)
+        ref.end_of_stream()
+
+        a = Utterance(recognizer, fmt, fused=True)
+        a.process(payload[:half])
+        blob = pickle.dumps(a.get_state())
+        b = Utterance(recognizer, fmt, fused=True)
+        b.set_state(pickle.loads(blob))
+        b.process(payload[half:])
+        b.end_of_stream()
+        assert b.hyp == ref.hyp
