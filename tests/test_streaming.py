@@ -88,3 +88,32 @@ class TestFusedStreaming:
         b.process(payload[half:])
         b.end_of_stream()
         assert b.hyp == ref.hyp
+
+
+class TestEdgeCases:
+    def test_empty_audio(self, recognizer):
+        """EOS with zero samples: empty transcript, no crash."""
+        from catears_tpu.io.wav import WaveFormat
+        utt = Utterance(recognizer, WaveFormat(1, 16000, 16), fused=True)
+        utt.end_of_stream()
+        assert utt.hyp == ""
+        utt2 = Utterance(recognizer, WaveFormat(1, 16000, 16), fused=False)
+        utt2.end_of_stream()
+        assert utt2.hyp == ""
+
+    def test_sub_frame_audio(self, recognizer):
+        """Less than one fbank frame of audio: empty transcript."""
+        from catears_tpu.io.wav import WaveFormat
+        utt = Utterance(recognizer, WaveFormat(1, 16000, 16), fused=True)
+        utt.process(b"\x00\x01" * 100)  # 100 samples < 400
+        utt.end_of_stream()
+        assert utt.hyp == ""
+
+    def test_process_after_eos_is_noop(self, recognizer):
+        from catears_tpu.io.wav import WaveFormat
+        utt = Utterance(recognizer, WaveFormat(1, 16000, 16), fused=True)
+        utt.process(b"\x00\x01" * 8000)
+        utt.end_of_stream()
+        hyp = utt.hyp
+        utt.process(b"\x00\x01" * 8000)  # ignored after EOS
+        assert utt.hyp == hyp
