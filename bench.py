@@ -50,10 +50,13 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
                        nnet.left_context, nnet.right_context,
                        chunk_size=50, num_pdfs=num_pdfs)
     fst = FlatFst.from_raw(graph.fst)
-    dfst = DeviceFst.build(fst, graph.tid2pdf)
+    # Arc-block width: the toy phone-loop's states have 2 emitting arcs
+    # (self-loop + forward), so a 2-wide block wastes no sort bandwidth.
+    dfst = DeviceFst.build(fst, graph.tid2pdf,
+                           group=int(os.environ.get("BENCH_GROUP", 2)))
     cfg = BeamConfig(
         beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
-        expand_size=int(os.environ.get("BENCH_EXPAND", 8192)),
+        expand_size=int(os.environ.get("BENCH_EXPAND", 2048)),
         eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 2048)),
         max_eps_iters=3,
         beam=16.0,

@@ -13,6 +13,7 @@ import sys
 
 from catears_tpu.io.wav import read_scp
 from catears_tpu.runtime.recognizer import Recognizer, decode_wav_file
+from catears_tpu.utils.errors import CatEarsError
 
 
 def print_usage() -> None:
@@ -39,6 +40,16 @@ def main(argv=None) -> int:
     if len(input_file) < 4:
         print_usage()
 
+    # The reference CLI reports failures as one-line errors and exits
+    # (src/main.cc:15-25) rather than dumping a stack.
+    try:
+        return _run(config_file, input_file, batch_size)
+    except (CatEarsError, OSError) as e:
+        print(f"catears: {e}", file=sys.stderr)
+        return 1
+
+
+def _run(config_file: str, input_file: str, batch_size: int) -> int:
     recognizer = Recognizer(config_file)
     if input_file.endswith(".wav"):
         print(decode_wav_file(recognizer, input_file))

@@ -44,7 +44,10 @@ class BeamConfig:
     """Static decoder geometry (hashable: used as a jit static arg)."""
 
     beam_size: int = 4096  # K: max active tokens (reference default 30000)
-    expand_size: int = 32768  # E: emitting-arc expansion capacity
+    # Emitting-arc OVERFLOW capacity: arcs beyond each state's first-G block
+    # (G = DeviceFst.group).  Total emitting candidates = K*G + expand_size,
+    # so this only needs to cover the high-fanout tail of active states.
+    expand_size: int = 8192
     eps_expand_size: int = 8192  # epsilon-closure expansion capacity
     max_eps_iters: int = 6  # closure fixpoint bound
     beam: float = 16.0  # beam width (reference src/decoder.cc:56)
@@ -84,28 +87,106 @@ class FrameTrace(NamedTuple):
 def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
     """Dedup by (state, lm) keeping min cost, then exact top-K by cost.
 
-    Stable 3-key sort means ties keep input order, so earlier entries win —
+    Stable sort means ties keep input order, so earlier entries win —
     matching the reference's strict-improvement insert (src/decoder.cc:172).
     Returns (BeamState fields without bp) + payloads gathered at kept slots.
+
+    lms may be None (no delta-LM): drops a sort key AND an operand.  The
+    payloads ride through the sort as one iota operand and are recovered
+    with a single packed post-sort row gather of K rows — cheaper than
+    carrying two extra [E] operands through every bitonic pass.
     """
     k = cfg.beam_size
-    (s_states, s_lms, s_costs, s_a, s_b) = jax.lax.sort(
-        (states, lms, costs, payload_a, payload_b), num_keys=3)
-    first = jnp.ones_like(s_states, jnp.bool_)
-    first = first.at[1:].set((s_states[1:] != s_states[:-1])
-                             | (s_lms[1:] != s_lms[:-1]))
+    n = states.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if lms is None:
+        s_states, s_costs, s_iota = jax.lax.sort(
+            (states, costs, iota), num_keys=2)
+        first = jnp.ones_like(s_states, jnp.bool_)
+        first = first.at[1:].set(s_states[1:] != s_states[:-1])
+        meta_cols = [s_states, s_iota]
+    else:
+        s_states, s_lms, s_costs, s_iota = jax.lax.sort(
+            (states, lms, costs, iota), num_keys=3)
+        first = jnp.ones_like(s_states, jnp.bool_)
+        first = first.at[1:].set((s_states[1:] != s_states[:-1])
+                                 | (s_lms[1:] != s_lms[:-1]))
+        meta_cols = [s_states, s_iota, s_lms]
     eff_cost = jnp.where(first & (s_states < SENTINEL_STATE), s_costs, INF)
     neg_top, idx = jax.lax.top_k(-eff_cost, k)
     top_costs = -neg_top
     valid = jnp.isfinite(top_costs)
-    # One packed row gather for all kept fields (costs come from top_k)
-    packed = jnp.stack([s_states, s_lms, s_a, s_b], axis=1)[idx]
+    meta = jnp.stack(meta_cols, axis=1)[idx]  # [K, 2|3] row gather
+    payload = jnp.stack([payload_a, payload_b], axis=1)[meta[:, 1]]  # [K, 2]
+    lms_out = (jnp.zeros((k,), jnp.int32) if lms is None
+               else jnp.where(valid, meta[:, 2], 0))
     return (
-        jnp.where(valid, packed[:, 0], -1),
-        jnp.where(valid, packed[:, 1], 0),
+        jnp.where(valid, meta[:, 0], -1),
+        lms_out,
         jnp.where(valid, top_costs, INF),
-        packed[:, 2],
-        packed[:, 3],
+        payload[:, 0],
+        payload[:, 1],
+    )
+
+
+def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
+                capacity: int, row_lo: jnp.ndarray, n_arcs: jnp.ndarray):
+    """CSR expansion over per-token spans (row_lo in grouped-row units).
+
+    Tuned for the TPU's gather cost model (per-ROW, width nearly free):
+    arcs are stored G per row (DeviceFst.group), so ownership bookkeeping
+    and both row gathers run over capacity/G grouped slots:
+      1. token row  [E/G, 8]   — per-token values packed per frame
+      2. arc row    [E/G, G*4] — G arcs per fetched row
+    Slot->token ownership is a scatter of span starts + cummax fill — no
+    binary searches, no per-field gathers.  Outputs are flattened back to
+    [capacity] candidates.
+    """
+    k = cfg.beam_size
+    g = dfst.group
+    n_slots = -(-capacity // g)
+    capacity = n_slots * g  # round up to a whole number of grouped rows
+    span_rows = (n_arcs + (g - 1)) // g
+    cum = jnp.cumsum(span_rows)
+    cum_before = cum - span_rows
+    slots = jnp.arange(k, dtype=jnp.int32)
+    owner = jnp.full((n_slots,), -1, jnp.int32).at[cum_before].max(
+        jnp.where(span_rows > 0, slots, -1), mode="drop")
+    tok = jax.lax.cummax(owner)
+    tok_c = jnp.clip(tok, 0, k - 1)
+
+    # Per-token row: (row_base, arc_limit, cost_bits, lm, bp, pad, pad, pad)
+    # A grouped slot s owned by token t reads arc row row_base[t] + s and
+    # its candidate j is valid iff g*s + j < arc_limit[t].
+    token_row = jnp.stack([
+        row_lo - cum_before,
+        n_arcs + g * cum_before,
+        jax.lax.bitcast_convert_type(beam.costs, jnp.int32),
+        beam.lm,
+        beam.bp,
+        slots, slots, slots,
+    ], axis=1)  # [K, 8]
+    tr = token_row[tok_c]  # [E/G, 8] row gather
+    s = jnp.arange(n_slots, dtype=jnp.int32)
+    row_idx = jnp.clip(tr[:, 0] + s, 0, dfst.num_arc_rows - 1)
+    ap = dfst.arc_packed[row_idx].reshape(n_slots, g, 4)  # [E/G, G*4] gather
+
+    lanes = jnp.arange(g, dtype=jnp.int32)
+    valid_e = (tok[:, None] >= 0) & (g * s[:, None] + lanes < tr[:, 1:2])
+
+    rep = lambda x: jnp.repeat(x, g, total_repeat_length=capacity)  # noqa: E731
+    tok_cost = rep(jax.lax.bitcast_convert_type(tr[:, 2], jnp.float32))
+    return (
+        rep(tok_c),
+        valid_e.reshape(capacity),
+        tok_cost,
+        rep(tr[:, 3]),  # lm
+        rep(tr[:, 4]),  # bp
+        ap[:, :, 0].reshape(capacity),  # next state
+        ap[:, :, 1].reshape(capacity),  # olabel
+        jax.lax.bitcast_convert_type(ap[:, :, 2].reshape(capacity),
+                                     jnp.float32),  # weight
+        ap[:, :, 3].reshape(capacity),  # pdf
     )
 
 
@@ -113,57 +194,49 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
             emitting: bool):
     """Map expansion slots -> (token, cost, lm, bp, arc next/olabel/weight/pdf).
 
-    CSR expansion tuned for the TPU's gather cost model (per-row, width
-    nearly free): scatter each token's start position into the slot array
-    and cummax-fill for ownership, then exactly THREE row gathers:
-      1. token row  [E, 8] — per-token values packed per frame
-      2. arc row    [E, 4] — packed arc table
-      3. (caller) logp[pdf] for the acoustic cost
-    Binary searches and per-field gathers are avoided entirely.
+    Emitting arcs use a two-pass scheme:
+      Pass A (block): every token directly gathers its state's first-G-arc
+        block row — K row gathers, no ownership bookkeeping, guaranteed
+        coverage for the typical small-fanout HCLG state.
+      Pass B (overflow): arcs beyond the first G flow through the CSR
+        expansion with `capacity` candidate slots — only high-fanout states
+        contribute.
+    Epsilon closure uses the pure CSR path (most states have no eps arcs,
+    so per-token blocks would waste sort bandwidth downstream).
     """
     k = cfg.beam_size
+    g = dfst.group
     state_c = jnp.clip(beam.states, 0, dfst.num_states - 1)
     valid_tok = beam.states >= 0
     sp = dfst.state_packed[state_c]  # [K, 4] row gather
-    lo, n_eps, n_emit = sp[:, 0], sp[:, 1], sp[:, 2]
-    if emitting:
-        span_start = lo + n_eps
-        span_len = jnp.where(valid_tok, n_emit, 0)
-    else:
-        span_start = lo
-        span_len = jnp.where(valid_tok, n_eps, 0)
-    cum = jnp.cumsum(span_len)
-    cum_before = cum - span_len
+    if not emitting:
+        n_eps = jnp.where(valid_tok, sp[:, 1], 0)
+        return _expand_csr(cfg, dfst, beam, capacity, sp[:, 0], n_eps)
+
+    n_emit = jnp.where(valid_tok, sp[:, 3], 0)
+    # Pass A: per-token first-G block — one direct row gather, token fields
+    # broadcast straight from the beam arrays (no token-row indirection).
+    blk = dfst.emit_block[state_c].reshape(k, g, 4)  # [K, G*4] row gather
+    lanes = jnp.arange(g, dtype=jnp.int32)
+    valid_a = lanes[None, :] < n_emit[:, None]
     slots = jnp.arange(k, dtype=jnp.int32)
-    owner = jnp.full((capacity,), -1, jnp.int32).at[cum_before].max(
-        jnp.where(span_len > 0, slots, -1), mode="drop")
-    tok = jax.lax.cummax(owner)
-    tok_c = jnp.clip(tok, 0, k - 1)
-
-    # Per-token row: (arc_base, cum, cost_bits, lm, bp, pad, pad, pad)
-    token_row = jnp.stack([
-        span_start - cum_before,
-        cum,
-        jax.lax.bitcast_convert_type(beam.costs, jnp.int32),
-        beam.lm,
-        beam.bp,
-        slots, slots, slots,
-    ], axis=1)  # [K, 8]
-    tr = token_row[tok_c]  # [E, 8] row gather
-    e = jnp.arange(capacity, dtype=jnp.int32)
-    arc_idx = jnp.clip(tr[:, 0] + e, 0, dfst.num_arcs - 1)
-    valid_e = (tok >= 0) & (e < tr[:, 1])
-    tok_cost = jax.lax.bitcast_convert_type(tr[:, 2], jnp.float32)
-    tok_lm = tr[:, 3]
-    tok_bp = tr[:, 4]
-
-    ap = dfst.arc_packed[arc_idx]  # [E, 4] row gather
-    next_state = ap[:, 0]
-    olabel = ap[:, 1]
-    weight = jax.lax.bitcast_convert_type(ap[:, 2], jnp.float32)
-    pdf = ap[:, 3]
-    return (tok_c, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel,
-            weight, pdf)
+    repk = lambda x: jnp.repeat(x, g, total_repeat_length=k * g)  # noqa: E731
+    pass_a = (
+        repk(slots),
+        valid_a.reshape(k * g),
+        repk(beam.costs),
+        repk(beam.lm),
+        repk(beam.bp),
+        blk[:, :, 0].reshape(k * g),
+        blk[:, :, 1].reshape(k * g),
+        jax.lax.bitcast_convert_type(blk[:, :, 2].reshape(k * g),
+                                     jnp.float32),
+        blk[:, :, 3].reshape(k * g),
+    )
+    # Pass B: CSR overflow for states with fanout > G.
+    pass_b = _expand_csr(cfg, dfst, beam, capacity, sp[:, 2],
+                         jnp.maximum(n_emit - g, 0))
+    return tuple(jnp.concatenate([a, b]) for a, b in zip(pass_a, pass_b))
 
 
 def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
@@ -183,7 +256,7 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
         cost = cost + lm_w
     else:
-        lm_state = jnp.zeros_like(next_state)
+        lm_state = None
     cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
     cand_cost = jnp.where(valid_e, cost, INF)
     parent_enc = -(tok + 1)  # previous-frame slot reference
@@ -227,8 +300,6 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         if dlm is not None:
             lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
             cost = cost + lm_w
-        else:
-            lm_state = jnp.zeros_like(next_state)
         valid_e = valid_e & (cost <= cutoff)
         cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
         cand_cost = jnp.where(valid_e, cost, INF)
@@ -238,7 +309,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         # payload array.
         m = cfg.arena_size
         m_states = jnp.concatenate([beam.states, cand_state])
-        m_lms = jnp.concatenate([beam.lm, lm_state])
+        m_lms = (jnp.concatenate([beam.lm, lm_state])
+                 if dlm is not None else None)
         m_costs = jnp.concatenate([beam.costs, cand_cost])
         m_ref = jnp.concatenate([beam.bp, tok_bp + m])
         m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), olabel])

@@ -39,7 +39,8 @@ class Decoder:
                  am_scale: float = 0.1,
                  delta_lm: Optional[DeltaLmFst] = None,
                  config: Optional[BeamConfig] = None,
-                 chunk_frames: int = 20):
+                 chunk_frames: int = 20,
+                 arc_group: int = 4):
         if config is None:
             config = BeamConfig(am_scale=am_scale)
         elif config.am_scale != am_scale:
@@ -47,7 +48,7 @@ class Decoder:
         self.cfg = config
         self.fst = fst
         self.delta_lm = delta_lm
-        self.dfst = DeviceFst.build(fst, tid2pdf)
+        self.dfst = DeviceFst.build(fst, tid2pdf, group=arc_group)
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
@@ -127,13 +128,14 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  am_scale: float = 0.1,
                  delta_lm: Optional[DeltaLmFst] = None,
                  config: Optional[BeamConfig] = None,
-                 chunk_frames: int = 50) -> List[Hypothesis]:
+                 chunk_frames: int = 50,
+                 arc_group: int = 4) -> List[Hypothesis]:
     """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
     if config is None:
         config = BeamConfig(am_scale=am_scale)
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
-    dfst = DeviceFst.build(fst, tid2pdf)
+    dfst = DeviceFst.build(fst, tid2pdf, group=arc_group)
     dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
     has_lm = delta_lm is not None
 

@@ -51,50 +51,95 @@ def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["start", "final", "state_packed", "arc_packed"],
-    meta_fields=["eps_depth"])
+    data_fields=["start", "final", "state_packed", "arc_packed",
+                 "emit_block"],
+    meta_fields=["eps_depth", "group"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFst:
     """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
 
-    Hot tables are packed row-wise so the beam search does ONE coalesced
-    gather per expansion slot instead of four scattered ones:
-      state_packed [S, 4] i32: (arc_lo, n_eps, n_emit, unused)
-      arc_packed   [A, 4] i32: (next, olabel, weight_bits(f32), pdf)
+    The TPU gather cost model is per-ROW (row width is nearly free), so arcs
+    are fetched `group` (G) at a time:
+
+    * `emit_block [S, G*4]` — every state's FIRST G emitting arcs.  In the
+      beam search each active token does ONE direct row gather here: no
+      slot-ownership bookkeeping, and guaranteed coverage for the typical
+      HCLG state (self-loop + a few transitions).
+    * `arc_packed [R, G*4]` — CSR rows holding (a) all epsilon arcs and
+      (b) emitting-arc OVERFLOW (arcs beyond the first G) for high-fanout
+      states, each state's span padded to a row boundary.
+    * `state_packed [S, 4]` i32: (eps_row_lo, n_eps, emit_over_lo, n_emit)
+      with *_lo in CSR row units and counts in raw arcs.
+
+    Each stored arc is 4 i32 lanes: (next, olabel, weight_bits(f32), pdf).
+    Padding arcs are zeros — harmless because expansion masks candidates
+    beyond each span's true arc count.
     """
 
     start: jnp.ndarray  # i32 scalar
     final: jnp.ndarray  # f32 [S]
     state_packed: jnp.ndarray  # i32 [S, 4]
-    arc_packed: jnp.ndarray  # i32 [A, 4]
+    arc_packed: jnp.ndarray  # i32 [R, group*4]
+    emit_block: jnp.ndarray  # i32 [S, group*4]
     eps_depth: Optional[int]  # static: longest eps chain, None if unbounded
+    group: int  # arcs per gather row
 
     @classmethod
-    def build(cls, fst: FlatFst, tid2pdf: np.ndarray) -> "DeviceFst":
+    def build(cls, fst: FlatFst, tid2pdf: np.ndarray,
+              group: int = 4) -> "DeviceFst":
+        s = fst.num_states
         offsets = fst.offsets.astype(np.int64)
-        # Count of ilabel==0 arcs per state (they prefix each sorted span).
-        state_of_arc = np.repeat(np.arange(fst.num_states), np.diff(offsets))
-        n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
-                            minlength=fst.num_states).astype(np.int64)
-        tid2pdf = np.asarray(tid2pdf, np.int32)
-        arc_pdf = np.where(fst.arc_ilabel > 0,
-                           tid2pdf[np.minimum(fst.arc_ilabel,
-                                              tid2pdf.size - 1)],
-                           0).astype(np.int32)
         n_all = np.diff(offsets)
-        state_packed = np.stack([
-            offsets[:-1], n_eps, n_all - n_eps, np.zeros_like(n_eps)
-        ], axis=1).astype(np.int32)
-        arc_packed = np.stack([
+        # ilabel==0 arcs prefix each (state, ilabel)-sorted span.
+        state_of_arc = np.repeat(np.arange(s), n_all)
+        is_eps = fst.arc_ilabel == 0
+        n_eps = np.bincount(state_of_arc[is_eps],
+                            minlength=s).astype(np.int64)
+        n_emit = n_all - n_eps
+        tid2pdf = np.asarray(tid2pdf, np.int32)
+        arc_pdf = np.where(is_eps, 0,
+                           tid2pdf[np.minimum(fst.arc_ilabel,
+                                              tid2pdf.size - 1)]
+                           ).astype(np.int32)
+        packed = np.stack([
             fst.arc_next, fst.arc_olabel,
             fst.arc_weight.view(np.int32), arc_pdf
+        ], axis=1).astype(np.int32)
+
+        # CSR layout: per state [eps rows | emit-overflow rows], spans
+        # padded to row boundaries.
+        n_over = np.maximum(n_emit - group, 0)
+        eps_rows = -(-n_eps // group)
+        over_rows = -(-n_over // group)
+        row_off = np.concatenate([[0], np.cumsum(eps_rows + over_rows)])
+        eps_row_lo = row_off[:-1]
+        emit_over_lo = row_off[:-1] + eps_rows
+        n_rows = max(int(row_off[-1]), 1)
+
+        rank = np.arange(fst.num_arcs) - np.repeat(offsets[:-1], n_all)
+        emit_rank = rank - n_eps[state_of_arc]  # rank among emitting arcs
+        in_block = ~is_eps & (emit_rank < group)
+        dest = np.where(
+            is_eps,
+            eps_row_lo[state_of_arc] * group + rank,
+            emit_over_lo[state_of_arc] * group + emit_rank - group)
+        flat = np.zeros((n_rows * group, 4), np.int32)
+        flat[dest[~in_block]] = packed[~in_block]
+        block = np.zeros((s * group, 4), np.int32)
+        block[state_of_arc[in_block] * group
+              + emit_rank[in_block]] = packed[in_block]
+
+        state_packed = np.stack([
+            eps_row_lo, n_eps, emit_over_lo, n_emit
         ], axis=1).astype(np.int32)
         return cls(
             start=jnp.int32(fst.start),
             final=jnp.asarray(fst.final),
             state_packed=jnp.asarray(state_packed),
-            arc_packed=jnp.asarray(arc_packed),
+            arc_packed=jnp.asarray(flat.reshape(n_rows, group * 4)),
+            emit_block=jnp.asarray(block.reshape(s, group * 4)),
             eps_depth=_eps_depth(fst),
+            group=group,
         )
 
     @property
@@ -102,7 +147,7 @@ class DeviceFst:
         return self.state_packed.shape[0]
 
     @property
-    def num_arcs(self) -> int:
+    def num_arc_rows(self) -> int:
         return self.arc_packed.shape[0]
 
 

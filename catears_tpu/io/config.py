@@ -61,7 +61,12 @@ class Configuration:
                 raise CorruptionError(
                     f"unable to find key '{key}' in {self._filename}")
             return default
-        return int(val)
+        try:
+            return int(val)
+        except ValueError as e:
+            raise CorruptionError(
+                f"key '{key}' in {self._filename} is not an integer: "
+                f"'{val}'") from e
 
     def get_float(self, key: str, default: Optional[float] = None) -> float:
         val = self._table.get(key.lower())
@@ -70,7 +75,12 @@ class Configuration:
                 raise CorruptionError(
                     f"unable to find key '{key}' in {self._filename}")
             return default
-        return float(val)
+        try:
+            return float(val)
+        except ValueError as e:
+            raise CorruptionError(
+                f"key '{key}' in {self._filename} is not a number: "
+                f"'{val}'") from e
 
     def get_path(self, key: str, default: Optional[str] = None) -> str:
         """Like get_string, but relative values resolve against the config dir."""

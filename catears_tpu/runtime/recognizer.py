@@ -52,6 +52,9 @@ class Recognizer:
             self.cmvn_stats = read_vec0_file(conf.get_path("cmvn_stats"))
         self.fbank = Fbank()
         self.beam_config = beam_config or BeamConfig(am_scale=AM_SCALE)
+        # Arc-block width for the device graph layout (DeviceFst.group);
+        # tune to the graph's typical emitting fanout.
+        self.arc_group = conf.get_int("arc_group", 4)
 
     def _read_delta_lm(self, conf: Configuration) -> Optional[DeltaLmFst]:
         large_lm_file = conf.get_path("large_lm", "")
@@ -89,7 +92,8 @@ class Utterance:
         self.decoder = Decoder(
             recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
             delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
-            chunk_frames=PARTIAL_HYP_INTERVAL)
+            chunk_frames=PARTIAL_HYP_INTERVAL,
+            arc_group=recognizer.arc_group)
         self.session = None
         if fused and self.cmvn_stream is None:
             from catears_tpu.runtime.streaming import StreamingSession

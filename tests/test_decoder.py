@@ -107,6 +107,33 @@ class TestDeviceVsOracle:
         assert d.words == o.words
         assert abs(d.weight - o.weight) < 1e-3
 
+    @pytest.mark.parametrize("arc_group", [1, 2, 4, 8])
+    def test_high_fanout_overflow(self, arc_group):
+        """States with fanout >> arc_group exercise the CSR overflow pass.
+
+        The 30-word phone loop's loop state has 30 emitting arcs, far more
+        than any block width, so correctness requires pass B (overflow).
+        """
+        rng = np.random.RandomState(42)
+        graph = make_phone_loop_graph(rng, num_words=30, num_pdfs=32)
+        fst = FlatFst.from_raw(graph.fst)
+        logp = np.log(rng.dirichlet(np.ones(32), size=25)).astype(np.float32)
+        oracle = OracleDecoder(fst, graph.tid2pdf,
+                               am_scale=SMALL_CFG.am_scale,
+                               beam=SMALL_CFG.beam,
+                               beam_size=SMALL_CFG.beam_size,
+                               max_eps_iters=SMALL_CFG.max_eps_iters)
+        for row in logp:
+            oracle.process(row)
+        o = oracle.best_path(end_of_stream=True)
+        dec = Decoder(fst, graph.tid2pdf, config=SMALL_CFG, chunk_frames=7,
+                      arc_group=arc_group)
+        dec.process(logp)
+        dec.end_of_stream()
+        d = dec.best_path()
+        assert d.words == o.words
+        assert abs(d.weight - o.weight) < 1e-3
+
     def test_partial_hypothesis(self):
         """best_path before end_of_stream skips final weights."""
         rng = np.random.RandomState(3)
