@@ -31,7 +31,6 @@ if os.environ.get("PROF_GROUP"):
 rng = np.random.RandomState(0)
 logp = jnp.asarray(rng.randn(FRAMES, BATCH, am.num_pdfs).astype(np.float32))
 beam0, _ = B.init_beam_batch(cfg, False, BATCH, dfst, None)
-lane_offsets = jnp.arange(BATCH, dtype=jnp.int32) * am.num_pdfs
 
 
 def timeit(name, fn, *args):
@@ -54,58 +53,71 @@ def scan_stage(stage_fn):
     @jax.jit
     def run(beam, logp):
         def step(b, lp):
-            return stage_fn(b, lp.reshape(-1)), 0
+            return stage_fn(b, lp), 0
         b, _ = jax.lax.scan(step, beam, logp)
         return b
     return run
 
 
-# --- full frame step ---
-def full_step(b, lp_flat):
+def full_step(b, lp):
     fv = jnp.ones((BATCH,), bool)
-    step = jax.vmap(lambda bb, lo, fvv: B._frame_step(
-        cfg, dfst, None, bb, lp_flat, lo, fvv),
-        in_axes=(0, 0, 0))
-    nb, _tr = step(b, lane_offsets, fv)
+    step = jax.vmap(lambda bb, l, fvv: B._frame_step(
+        cfg, dfst, None, bb, l, fvv), in_axes=(0, 0, 0))
+    nb, _tr = step(b, lp, fv)
     return nb
 
 
-# --- emitting only (expand + cost + select_best + threshold) ---
-def emit_only(b, lp_flat):
-    step = jax.vmap(lambda bb, lo: B._emitting_step(
-        cfg, dfst, None, bb, lp_flat, lo)[0], in_axes=(0, 0))
-    return step(b, lane_offsets)
+def emit_only(b, lp):
+    step = jax.vmap(lambda bb, l: B._emitting_step(
+        cfg, dfst, None, bb, l)[0], in_axes=(0, 0))
+    return step(b, lp)
 
 
-# --- expand only ---
-def expand_only(b, lp_flat):
-    def one(bb, lo):
+def expand_only(b, lp):
+    def one(bb, l):
         out = B._expand(cfg, dfst, bb, cfg.expand_size, True)
-        ac = -cfg.am_scale * lp_flat[lo + out[8]]
+        ac = -cfg.am_scale * B._acoustic_lookup(l, out[8])
         cost = out[2] + out[7] + ac
-        # keep beam unchanged; reduce outputs so XLA can't DCE the gathers
         s = cost.sum() + out[5].sum()
-        return B.BeamState(bb.states, bb.lm,
-                           bb.costs + 0.0 * s, bb.bp)
-    return jax.vmap(one, in_axes=(0, 0))(b, lane_offsets)
+        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * s, bb.bp)
+    return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
-# --- select_best only (on synthetic candidates derived from logp) ---
-def select_only(b, lp_flat):
-    def one(bb, lo):
-        e = cfg.expand_size
+def emit_close(b, lp):
+    def one(bb, l):
+        nb, arena, cutoff = B._emitting_step(cfg, dfst, None, bb, l)
+        nb, arena = B._eps_closure(cfg, dfst, None, nb, arena, cutoff)
+        return B.BeamState(nb.states, nb.lm,
+                           nb.costs + 0.0 * arena.sum(), nb.bp)
+    return jax.vmap(one, in_axes=(0, 0))(b, lp)
+
+
+def acoustic_only(b, lp):
+    def one(bb, l):
+        e = cfg.beam_size * dfst.group + cfg.expand_size
+        idx = jnp.arange(e, dtype=jnp.int32) % am.num_pdfs
+        v = B._acoustic_lookup(l, idx)
+        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * v.sum(), bb.bp)
+    return jax.vmap(one, in_axes=(0, 0))(b, lp)
+
+
+def select_only(b, lp):
+    def one(bb, l):
+        e = cfg.beam_size * dfst.group + cfg.expand_size
         idx = jnp.arange(e, dtype=jnp.int32)
         states = idx % jnp.int32(50021)
-        costs = lp_flat[lo + (idx % am.num_pdfs)]
-        s, l, c, pa, pb = B._select_best(cfg, states, None, costs, idx, idx)
-        return B.BeamState(s, l, c + 0.0 * (pa.sum() + pb.sum()), bb.bp)
-    return jax.vmap(one, in_axes=(0, 0))(b, lane_offsets)
+        costs = l[idx % am.num_pdfs]
+        s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, idx, idx)
+        return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()), bb.bp)
+    return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
 print(f"batch={BATCH} frames={FRAMES} beam={cfg.beam_size} "
       f"expand={cfg.expand_size} eps_expand={cfg.eps_expand_size} "
-      f"eps_depth={dfst.eps_depth}")
+      f"group={dfst.group} eps_depth={dfst.eps_depth}")
 timeit("full _frame_step", scan_stage(full_step), beam0, logp)
 timeit("emitting step only", scan_stage(emit_only), beam0, logp)
+timeit("emitting + eps closure", scan_stage(emit_close), beam0, logp)
 timeit("expand+cost only", scan_stage(expand_only), beam0, logp)
+timeit("acoustic lookup only", scan_stage(acoustic_only), beam0, logp)
 timeit("select_best only", scan_stage(select_only), beam0, logp)
