@@ -92,9 +92,15 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
     Returns (BeamState fields without bp) + payloads gathered at kept slots.
 
     lms may be None (no delta-LM): drops a sort key AND an operand.  The
-    payloads ride through the sort as one iota operand and are recovered
+    payloads ride through the sorts as one iota operand and are recovered
     with a single packed post-sort row gather of K rows — cheaper than
     carrying two extra [E] operands through every bitonic pass.
+
+    Pruning is a SECOND stable sort by effective cost, not lax.top_k: on
+    TPU top_k(n -> K) at beam shapes measures ~5x the marginal cost of one
+    more multi-operand sort pass (scripts/selectprof.py).  Both break
+    cost ties by position in the dedup-sorted array, so results are
+    bit-identical.
     """
     k = cfg.beam_size
     n = states.shape[0]
@@ -104,24 +110,30 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
             (states, costs, iota), num_keys=2)
         first = jnp.ones_like(s_states, jnp.bool_)
         first = first.at[1:].set(s_states[1:] != s_states[:-1])
-        meta_cols = [s_states, s_iota]
+        eff_cost = jnp.where(first & (s_states < SENTINEL_STATE),
+                             s_costs, INF)
+        top_costs, top_states, top_iota = jax.lax.sort(
+            (eff_cost, s_states, s_iota), num_keys=1)
+        top_lms = None
     else:
         s_states, s_lms, s_costs, s_iota = jax.lax.sort(
             (states, lms, costs, iota), num_keys=3)
         first = jnp.ones_like(s_states, jnp.bool_)
         first = first.at[1:].set((s_states[1:] != s_states[:-1])
                                  | (s_lms[1:] != s_lms[:-1]))
-        meta_cols = [s_states, s_iota, s_lms]
-    eff_cost = jnp.where(first & (s_states < SENTINEL_STATE), s_costs, INF)
-    neg_top, idx = jax.lax.top_k(-eff_cost, k)
-    top_costs = -neg_top
+        eff_cost = jnp.where(first & (s_states < SENTINEL_STATE),
+                             s_costs, INF)
+        top_costs, top_states, top_lms, top_iota = jax.lax.sort(
+            (eff_cost, s_states, s_lms, s_iota), num_keys=1)
+        top_lms = top_lms[:k]
+    top_costs, top_states, top_iota = (
+        top_costs[:k], top_states[:k], top_iota[:k])
     valid = jnp.isfinite(top_costs)
-    meta = jnp.stack(meta_cols, axis=1)[idx]  # [K, 2|3] row gather
-    payload = jnp.stack([payload_a, payload_b], axis=1)[meta[:, 1]]  # [K, 2]
-    lms_out = (jnp.zeros((k,), jnp.int32) if lms is None
-               else jnp.where(valid, meta[:, 2], 0))
+    payload = jnp.stack([payload_a, payload_b], axis=1)[top_iota]  # [K, 2]
+    lms_out = (jnp.zeros((k,), jnp.int32) if top_lms is None
+               else jnp.where(valid, top_lms, 0))
     return (
-        jnp.where(valid, meta[:, 0], -1),
+        jnp.where(valid, top_states, -1),
         lms_out,
         jnp.where(valid, top_costs, INF),
         payload[:, 0],

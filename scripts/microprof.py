@@ -33,14 +33,20 @@ logp = jnp.asarray(rng.randn(FRAMES, BATCH, am.num_pdfs).astype(np.float32))
 beam0, _ = B.init_beam_batch(cfg, False, BATCH, dfst, None)
 
 
+def fetch(out):
+    """Force real completion: on the axon tunnel block_until_ready returns
+    before execution finishes, so timing must round-trip a value to host."""
+    return np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+
+
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        fetch(out)
         times.append(time.perf_counter() - t0)
     per_frame = min(times) / FRAMES * 1e6
     print(f"{name:28s} {per_frame:9.1f} us/frame  (total {min(times)*1e3:.1f} ms)")
