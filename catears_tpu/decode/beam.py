@@ -220,15 +220,18 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     g = dfst.group
     state_c = jnp.clip(beam.states, 0, dfst.num_states - 1)
     valid_tok = beam.states >= 0
-    sp = dfst.state_packed[state_c]  # [K, 4] row gather
     if not emitting:
+        sp = dfst.state_packed[state_c]  # [K, 4] row gather
         n_eps = jnp.where(valid_tok, sp[:, 1], 0)
         return _expand_csr(cfg, dfst, beam, capacity, sp[:, 0], n_eps)
 
+    # Pass A: per-token first-G block — ONE direct row gather carrying both
+    # the block arcs and the state_packed lanes, token fields broadcast
+    # straight from the beam arrays (no token-row indirection).
+    eb = dfst.emit_block[state_c]  # [K, G*4 + 4] row gather
+    sp = eb[:, g * 4:]
     n_emit = jnp.where(valid_tok, sp[:, 3], 0)
-    # Pass A: per-token first-G block — one direct row gather, token fields
-    # broadcast straight from the beam arrays (no token-row indirection).
-    blk = dfst.emit_block[state_c].reshape(k, g, 4)  # [K, G*4] row gather
+    blk = eb[:, :g * 4].reshape(k, g, 4)
     lanes = jnp.arange(g, dtype=jnp.int32)
     valid_a = lanes[None, :] < n_emit[:, None]
     slots = jnp.arange(k, dtype=jnp.int32)
@@ -245,7 +248,11 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
                                      jnp.float32),
         blk[:, :, 3].reshape(k * g),
     )
-    # Pass B: CSR overflow for states with fanout > G.
+    # Pass B: CSR overflow for states with fanout > G.  Statically skipped
+    # when the whole graph's fanout fits the first-G block — the overflow
+    # slots would be permanently empty and only pad the dedup sorts.
+    if dfst.max_emit_fanout <= g:
+        return pass_a
     pass_b = _expand_csr(cfg, dfst, beam, capacity, sp[:, 2],
                          jnp.maximum(n_emit - g, 0))
     return tuple(jnp.concatenate([a, b]) for a, b in zip(pass_a, pass_b))

@@ -53,7 +53,7 @@ def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
     jax.tree_util.register_dataclass,
     data_fields=["start", "final", "state_packed", "arc_packed",
                  "emit_block"],
-    meta_fields=["eps_depth", "group"])
+    meta_fields=["eps_depth", "group", "max_emit_fanout"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFst:
     """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
@@ -61,10 +61,12 @@ class DeviceFst:
     The TPU gather cost model is per-ROW (row width is nearly free), so arcs
     are fetched `group` (G) at a time:
 
-    * `emit_block [S, G*4]` — every state's FIRST G emitting arcs.  In the
-      beam search each active token does ONE direct row gather here: no
-      slot-ownership bookkeeping, and guaranteed coverage for the typical
-      HCLG state (self-loop + a few transitions).
+    * `emit_block [S, G*4 + 4]` — every state's FIRST G emitting arcs with
+      the state_packed lanes appended.  In the beam search each active
+      token does ONE direct row gather here (row width is nearly free, a
+      second [S, 4] gather is not): no slot-ownership bookkeeping, and
+      guaranteed coverage for the typical HCLG state (self-loop + a few
+      transitions).
     * `arc_packed [R, G*4]` — CSR rows holding (a) all epsilon arcs and
       (b) emitting-arc OVERFLOW (arcs beyond the first G) for high-fanout
       states, each state's span padded to a row boundary.
@@ -80,9 +82,10 @@ class DeviceFst:
     final: jnp.ndarray  # f32 [S]
     state_packed: jnp.ndarray  # i32 [S, 4]
     arc_packed: jnp.ndarray  # i32 [R, group*4]
-    emit_block: jnp.ndarray  # i32 [S, group*4]
+    emit_block: jnp.ndarray  # i32 [S, group*4 + 4] (block arcs ++ state row)
     eps_depth: Optional[int]  # static: longest eps chain, None if unbounded
     group: int  # arcs per gather row
+    max_emit_fanout: int  # static: max emitting arcs of any state
 
     @classmethod
     def build(cls, fst: FlatFst, tid2pdf: np.ndarray,
@@ -137,9 +140,11 @@ class DeviceFst:
             final=jnp.asarray(fst.final),
             state_packed=jnp.asarray(state_packed),
             arc_packed=jnp.asarray(flat.reshape(n_rows, group * 4)),
-            emit_block=jnp.asarray(block.reshape(s, group * 4)),
+            emit_block=jnp.asarray(np.concatenate(
+                [block.reshape(s, group * 4), state_packed], axis=1)),
             eps_depth=_eps_depth(fst),
             group=group,
+            max_emit_fanout=int(n_emit.max(initial=0)),
         )
 
     @property
