@@ -65,6 +65,13 @@ class BeamState(NamedTuple):
     lm: jnp.ndarray  # i32 [K] delta-LM state (0 when unused)
     costs: jnp.ndarray  # f32 [K] +inf when empty
     bp: jnp.ndarray  # i32 [K] arena id of this token's latest record
+    # Sticky expansion-overflow flag: True once any frame's CSR expansion
+    # needed more candidate slots than cfg.expand_size/eps_expand_size (the
+    # over-capacity arcs were dropped and the hypothesis may be wrong).
+    # The reference iterates every arc and can never truncate
+    # (src/decoder.cc:337-377); here capacities are static shapes, so
+    # truncation is detected on device and surfaced by the runtime.
+    overflow: jnp.ndarray  # bool scalar
 
 
 class FrameTrace(NamedTuple):
@@ -161,6 +168,10 @@ def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
     span_rows = (n_arcs + (g - 1)) // g
     cum = jnp.cumsum(span_rows)
     cum_before = cum - span_rows
+    # Spans whose rows land past n_slots are dropped by the ownership
+    # scatter below — flag it so the runtime can report truncation instead
+    # of returning a plausible-but-wrong path.
+    overflow = cum[-1] > n_slots
     slots = jnp.arange(k, dtype=jnp.int32)
     owner = jnp.full((n_slots,), -1, jnp.int32).at[cum_before].max(
         jnp.where(span_rows > 0, slots, -1), mode="drop")
@@ -199,6 +210,7 @@ def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
         jax.lax.bitcast_convert_type(ap[:, :, 2].reshape(capacity),
                                      jnp.float32),  # weight
         ap[:, :, 3].reshape(capacity),  # pdf
+        overflow,
     )
 
 
@@ -252,10 +264,12 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     # when the whole graph's fanout fits the first-G block — the overflow
     # slots would be permanently empty and only pad the dedup sorts.
     if dfst.max_emit_fanout <= g:
-        return pass_a
+        return pass_a + (jnp.bool_(False),)
     pass_b = _expand_csr(cfg, dfst, beam, capacity, sp[:, 2],
                          jnp.maximum(n_emit - g, 0))
-    return tuple(jnp.concatenate([a, b]) for a, b in zip(pass_a, pass_b))
+    merged = tuple(jnp.concatenate([a, b])
+                   for a, b in zip(pass_a, pass_b[:-1]))
+    return merged + (pass_b[-1],)
 
 
 def _acoustic_lookup(logp: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
@@ -289,7 +303,7 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     two-level one-hot select (see _acoustic_lookup).
     """
     (tok, valid_e, tok_cost, tok_lm, _tok_bp, next_state, olabel, weight,
-     pdf) = _expand(cfg, dfst, beam, cfg.expand_size, True)
+     pdf, overflow) = _expand(cfg, dfst, beam, cfg.expand_size, True)
     ac_cost = -cfg.am_scale * _acoustic_lookup(logp, pdf)
     cost = tok_cost + weight + ac_cost
     if dlm is not None:
@@ -313,7 +327,8 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     arena = arena.at[:k, 0].set(parent)
     arena = arena.at[:k, 1].set(jnp.where(keep, olab, 0))
     new_beam = BeamState(states, lms, costs,
-                         jnp.arange(k, dtype=jnp.int32))
+                         jnp.arange(k, dtype=jnp.int32),
+                         beam.overflow | overflow)
     return new_beam, arena, cutoff
 
 
@@ -335,7 +350,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     def body(carry):
         beam, arena, j, _ = carry
         (tok, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel, weight,
-         _pdf) = _expand(cfg, dfst, beam, cfg.eps_expand_size, False)
+         _pdf, overflow) = _expand(cfg, dfst, beam, cfg.eps_expand_size,
+                                   False)
         cost = tok_cost + weight
         if dlm is not None:
             lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
@@ -365,7 +381,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         block = jnp.stack([jnp.where(accepted, ref, 0),
                            jnp.where(accepted, olab, 0)], axis=1)
         arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
-        new_beam = BeamState(states, lms, costs, new_bp)
+        new_beam = BeamState(states, lms, costs, new_bp,
+                             beam.overflow | overflow)
         return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
@@ -424,6 +441,9 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena, cutoff)
     prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
 
+    # Overflow only counts on real frames (padded frames re-expand the same
+    # frozen beam; their truncation is reported when a real frame hits it).
+    overflow = jnp.where(frame_valid, new_beam.overflow, beam.overflow)
     died = ~jnp.isfinite(new_beam.costs[0])
     frame_valid = frame_valid & ~died
     # Identity trace for padded/dead frames: every slot chains to itself in
@@ -434,7 +454,7 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     out_beam = BeamState(keep(new_beam.states, beam.states),
                          keep(new_beam.lm, beam.lm),
                          keep(new_beam.costs, beam.costs),
-                         slots)
+                         slots, overflow)
     trace = FrameTrace(
         prev_slot=keep(prev_slot, slots),
         words=jnp.where(frame_valid, words, jnp.zeros_like(words)),
@@ -451,7 +471,7 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     lms = jnp.zeros((k,), jnp.int32).at[0].set(lm0)
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
-    beam = BeamState(states, lms, costs, bp)
+    beam = BeamState(states, lms, costs, bp, jnp.bool_(False))
     arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
     # Root entries terminate the backtrace: parent slot of a nonexistent
     # previous frame.
@@ -461,7 +481,7 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     # The init pseudo-frame has no predecessor: every chain roots here.
     trace = FrameTrace(jnp.full((k,), -1, jnp.int32), words)
     beam = BeamState(beam.states, beam.lm, beam.costs,
-                     jnp.arange(k, dtype=jnp.int32))
+                     jnp.arange(k, dtype=jnp.int32), beam.overflow)
     return beam, trace
 
 

@@ -21,8 +21,26 @@ from catears_tpu.decode.beam import (
 )
 from catears_tpu.decode.hyp import HostTrace, best_path
 from catears_tpu.decode.oracle import Hypothesis
-from catears_tpu.graph.device import DeviceFst, DeviceLm
+from catears_tpu.graph.device import DeviceFst, DeviceLm, expansion_bounds
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+from catears_tpu.utils.errors import BeamCapacityError
+
+
+def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
+                has_lm: bool) -> BeamConfig:
+    """Raise base's expansion capacities to the graph's worst case.
+
+    Guarantees the decoder can never truncate arc expansion — the static
+    analogue of the reference iterating every arc (src/decoder.cc:337-377).
+    """
+    import dataclasses
+
+    eb, epsb = expansion_bounds(fst, arc_group, base.beam_size,
+                                distinct_states=not has_lm)
+    return dataclasses.replace(
+        base,
+        expand_size=max(base.expand_size, eb, arc_group),
+        eps_expand_size=max(base.eps_expand_size, epsb, arc_group))
 
 
 def _traces_to_host(trace, num_valid: int, utt: int) -> List[HostTrace]:
@@ -41,10 +59,18 @@ class Decoder:
                  config: Optional[BeamConfig] = None,
                  chunk_frames: int = 20,
                  arc_group: int = 4):
+        auto_capacity = config is None
         if config is None:
             config = BeamConfig(am_scale=am_scale)
         elif config.am_scale != am_scale:
             config = BeamConfig(**{**config.__dict__, "am_scale": am_scale})
+        if auto_capacity:
+            # No explicit geometry: size capacities so truncation is
+            # impossible on this graph.  Explicit configs keep their
+            # (smaller, faster) capacities and rely on the runtime
+            # overflow flag raising BeamCapacityError.
+            config = safe_config(fst, arc_group, config,
+                                 delta_lm is not None)
         self.cfg = config
         self.fst = fst
         self.delta_lm = delta_lm
@@ -52,7 +78,6 @@ class Decoder:
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
-        self.num_pdfs = None  # learned from the first frame
         self.initialize()
 
     def initialize(self) -> None:
@@ -94,7 +119,21 @@ class Decoder:
             self.traces.extend(_traces_to_host(trace, n, 0))
             self.num_frames_decoded += n
 
+    @property
+    def overflowed(self) -> bool:
+        """True if any frame's arc expansion truncated (result suspect)."""
+        return bool(np.asarray(self.beam.overflow)[0])
+
+    def check_capacity(self) -> None:
+        if self.overflowed:
+            raise BeamCapacityError(
+                f"arc expansion overflowed capacity (expand_size="
+                f"{self.cfg.expand_size}, eps_expand_size="
+                f"{self.cfg.eps_expand_size}) after "
+                f"{self.num_frames_decoded} frames")
+
     def best_path(self) -> Hypothesis:
+        self.check_capacity()
         states = np.asarray(self.beam.states[0])
         lms = np.asarray(self.beam.lm[0])
         costs = np.asarray(self.beam.costs[0])
@@ -132,7 +171,8 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  arc_group: int = 4) -> List[Hypothesis]:
     """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
     if config is None:
-        config = BeamConfig(am_scale=am_scale)
+        config = safe_config(fst, arc_group, BeamConfig(am_scale=am_scale),
+                             delta_lm is not None)
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
     dfst = DeviceFst.build(fst, tid2pdf, group=arc_group)
@@ -160,6 +200,13 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
             for f in range(n_valid):
                 all_traces[u].append(HostTrace(prev[f, u], words[f, u]))
 
+    overflow = np.asarray(beam.overflow)
+    if overflow.any():
+        bad = np.flatnonzero(overflow).tolist()
+        raise BeamCapacityError(
+            f"arc expansion overflowed capacity (expand_size="
+            f"{config.expand_size}, eps_expand_size="
+            f"{config.eps_expand_size}) for utterances {bad}")
     states = np.asarray(beam.states)
     lms = np.asarray(beam.lm)
     costs = np.asarray(beam.costs)

@@ -20,8 +20,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+from catears_tpu.utils.errors import CorruptionError
 
 INT32_SENTINEL = np.int32(2**30)
+
+
+def _per_state_arc_counts(fst: FlatFst):
+    """(n_eps, n_emit) int64 [S]: per-state epsilon / emitting arc counts."""
+    n_all = np.diff(fst.offsets.astype(np.int64))
+    state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
+    n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
+                        minlength=fst.num_states).astype(np.int64)
+    return n_eps, n_all - n_eps
+
+
+def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
+                     distinct_states: bool = True) -> Tuple[int, int]:
+    """Worst-case (expand_size, eps_expand_size) for a beam of K tokens.
+
+    The emitting expansion's CSR overflow pass allocates ceil(max(n_emit
+    - group, 0) / group) rows per active token, and the epsilon closure
+    ceil(n_eps / group) rows; with at most K live tokens on distinct
+    states, the exact worst case is the sum over the K largest per-state
+    row counts.  Capacities at these bounds can NEVER truncate (the
+    reference iterates all arcs and never truncates either,
+    src/decoder.cc:337-377); smaller capacities are guarded by the
+    runtime overflow flag in decode.beam.
+
+    With delta-LM rescoring the beam dedups on (state, lm) pairs, so all K
+    tokens can share one state — pass distinct_states=False for the
+    K * max-rows bound instead of the top-K-distinct sum.
+    """
+    n_eps, n_emit = _per_state_arc_counts(fst)
+    over_rows = -(-np.maximum(n_emit - group, 0) // group)
+    eps_rows = -(-n_eps // group)
+
+    def worst(rows: np.ndarray) -> int:
+        if rows.size == 0:
+            return 0
+        if not distinct_states:
+            return beam_size * int(rows.max())
+        k = min(beam_size, rows.size)
+        top = np.partition(rows, rows.size - k)[rows.size - k:]
+        return int(top.sum())
+
+    return group * worst(over_rows), group * worst(eps_rows)
 
 
 def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
@@ -100,6 +143,16 @@ class DeviceFst:
                             minlength=s).astype(np.int64)
         n_emit = n_all - n_eps
         tid2pdf = np.asarray(tid2pdf, np.int32)
+        # Fail loudly on corrupt graphs: every emitting ilabel must be a
+        # valid transition-id (the reference's Status-checked loaders refuse
+        # out-of-range inputs, src/fst.cc:51-111).
+        bad = ~is_eps & ((fst.arc_ilabel < 0)
+                         | (fst.arc_ilabel >= tid2pdf.size))
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise CorruptionError(
+                f"FST arc {i} has ilabel {int(fst.arc_ilabel[i])} outside "
+                f"the transition table [0, {tid2pdf.size})")
         arc_pdf = np.where(is_eps, 0,
                            tid2pdf[np.minimum(fst.arc_ilabel,
                                               tid2pdf.size - 1)]

@@ -206,7 +206,19 @@ class StreamingSession:
                 HostTrace(prev[i, 0], words[i, 0]) for i in range(n_valid))
         self._dev_traces = []
 
+    @property
+    def overflowed(self) -> bool:
+        """True if any frame's arc expansion truncated (result suspect)."""
+        return bool(np.asarray(self.beam.overflow)[0])
+
     def best_path(self, end_of_stream: bool) -> Hypothesis:
+        if self.overflowed:
+            from catears_tpu.utils.errors import BeamCapacityError
+            raise BeamCapacityError(
+                f"arc expansion overflowed capacity (expand_size="
+                f"{self.cfg.expand_size}, eps_expand_size="
+                f"{self.cfg.eps_expand_size}) after "
+                f"{self.num_frames_decoded} frames")
         self._materialize()
         states = np.asarray(self.beam.states[0])
         lms = np.asarray(self.beam.lm[0])

@@ -38,6 +38,17 @@ class NotImplementedError_(CatEarsError):
     code = "NotImplemented"
 
 
+class BeamCapacityError(CatEarsError):
+    """Decode expansion overflowed its static capacity: candidates were
+    dropped and the hypothesis may be wrong.  Raise instead of returning a
+    plausible-but-wrong path (the reference iterates all arcs and can never
+    truncate, reference src/decoder.cc:337-377).  Fix: raise
+    BeamConfig.expand_size / eps_expand_size (see
+    graph.device.expansion_bounds for the graph's worst case)."""
+
+    code = "RuntimeError"
+
+
 def record_error(message: str) -> None:
     global _last_error
     _last_error = message

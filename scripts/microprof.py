@@ -85,7 +85,8 @@ def expand_only(b, lp):
         ac = -cfg.am_scale * B._acoustic_lookup(l, out[8])
         cost = out[2] + out[7] + ac
         s = cost.sum() + out[5].sum()
-        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * s, bb.bp)
+        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * s, bb.bp,
+                           bb.overflow)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -94,7 +95,8 @@ def emit_close(b, lp):
         nb, arena, cutoff = B._emitting_step(cfg, dfst, None, bb, l)
         nb, arena = B._eps_closure(cfg, dfst, None, nb, arena, cutoff)
         return B.BeamState(nb.states, nb.lm,
-                           nb.costs + 0.0 * arena.sum(), nb.bp)
+                           nb.costs + 0.0 * arena.sum(), nb.bp,
+                           nb.overflow)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -103,7 +105,8 @@ def acoustic_only(b, lp):
         e = cfg.beam_size * dfst.group + cfg.expand_size
         idx = jnp.arange(e, dtype=jnp.int32) % am.num_pdfs
         v = B._acoustic_lookup(l, idx)
-        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * v.sum(), bb.bp)
+        return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * v.sum(),
+                           bb.bp, bb.overflow)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -114,7 +117,8 @@ def select_only(b, lp):
         states = idx % jnp.int32(50021)
         costs = l[idx % am.num_pdfs]
         s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, idx, idx)
-        return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()), bb.bp)
+        return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()),
+                           bb.bp, bb.overflow)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 

@@ -239,3 +239,97 @@ class TestBeamDeath:
         o, d = run_both(fst, tid2pdf, logp, SMALL_CFG)
         # Both survive past the death at frame 3 and keep the full path
         assert d.words == o.words == [1, 2]
+
+
+class TestOverflowSafety:
+    """Expansion truncation must be reported, never silent (VERDICT #2)."""
+
+    def _graph(self, seed=5, num_words=40):
+        rng = np.random.RandomState(seed)
+        graph = make_phone_loop_graph(rng, num_words=num_words, num_pdfs=32)
+        logp = np.log(rng.dirichlet(np.ones(32), size=30)).astype(np.float32)
+        return graph, logp
+
+    def test_too_small_expand_reports(self):
+        """A deliberately undersized emitting capacity raises, not garbage.
+
+        The 40-word loop state has 40 emitting arcs; with arc_group=1 and
+        expand_size=8 the CSR overflow pass must truncate and flag it.
+        """
+        from catears_tpu.utils.errors import BeamCapacityError
+        graph, logp = self._graph()
+        fst = FlatFst.from_raw(graph.fst)
+        cfg = BeamConfig(beam_size=64, expand_size=8, eps_expand_size=512,
+                         max_eps_iters=6, beam=1e9)
+        dec = Decoder(fst, graph.tid2pdf, config=cfg, arc_group=1)
+        dec.process(logp)
+        dec.end_of_stream()
+        assert dec.overflowed
+        with pytest.raises(BeamCapacityError):
+            dec.best_path()
+
+    def test_too_small_eps_expand_reports(self):
+        """Undersized epsilon capacity is flagged by the closure pass."""
+        from catears_tpu.utils.errors import BeamCapacityError
+        graph, logp = self._graph()
+        fst = FlatFst.from_raw(graph.fst)
+        # Word-end eps arcs: with a huge beam, dozens of word-final states
+        # are simultaneously active, each with one eps arc; capacity 2
+        # cannot hold them.
+        cfg = BeamConfig(beam_size=256, expand_size=4096, eps_expand_size=2,
+                         max_eps_iters=6, beam=1e9)
+        dec = Decoder(fst, graph.tid2pdf, config=cfg, arc_group=1)
+        dec.process(logp)
+        dec.end_of_stream()
+        assert dec.overflowed
+        with pytest.raises(BeamCapacityError):
+            dec.best_path()
+
+    def test_batch_overflow_reports(self):
+        from catears_tpu.utils.errors import BeamCapacityError
+        graph, logp = self._graph()
+        fst = FlatFst.from_raw(graph.fst)
+        cfg = BeamConfig(beam_size=64, expand_size=8, eps_expand_size=512,
+                         max_eps_iters=6, beam=1e9)
+        with pytest.raises(BeamCapacityError):
+            decode_batch(fst, graph.tid2pdf, logp[None], config=cfg,
+                         arc_group=1)
+
+    def test_auto_capacity_never_overflows(self):
+        """Default (config=None) sizes capacities from expansion_bounds."""
+        graph, logp = self._graph()
+        fst = FlatFst.from_raw(graph.fst)
+        dec = Decoder(fst, graph.tid2pdf, arc_group=1)
+        dec.process(logp)
+        dec.end_of_stream()
+        assert not dec.overflowed
+        dec.best_path()  # must not raise
+
+    def test_expansion_bounds_exact(self):
+        """Bounds equal the hand-computed worst case on a known graph."""
+        from catears_tpu.graph.device import expansion_bounds
+        graph, _ = self._graph(num_words=10)
+        fst = FlatFst.from_raw(graph.fst)
+        n_all = np.diff(fst.offsets)
+        state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
+        n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
+                            minlength=fst.num_states)
+        n_emit = n_all - n_eps
+        for g in (1, 4):
+            for k in (2, 64):
+                eb, epsb = expansion_bounds(fst, g, k)
+                over = -(-np.maximum(n_emit - g, 0) // g)
+                eps_r = -(-n_eps // g)
+                exp_e = g * np.sort(over)[::-1][:k].sum()
+                exp_eps = g * np.sort(eps_r)[::-1][:k].sum()
+                assert eb == exp_e and epsb == exp_eps, (g, k)
+
+    def test_corrupt_ilabel_fails_loudly(self):
+        """Out-of-range transition-ids refuse to build (VERDICT #9)."""
+        from catears_tpu.graph.device import DeviceFst
+        from catears_tpu.utils.errors import CorruptionError
+        graph, _ = self._graph(num_words=4)
+        fst = FlatFst.from_raw(graph.fst)
+        bad_tid2pdf = graph.tid2pdf[:max(2, graph.tid2pdf.size // 2)]
+        with pytest.raises(CorruptionError):
+            DeviceFst.build(fst, bad_tid2pdf)
