@@ -25,45 +25,73 @@ import numpy as np
 
 
 def build_bench_setup(batch: int, seconds: float, seed: int = 0):
+    """Returns (am, fst, dfst, cfg, wave, planted, true_words).
+
+    BENCH_GRAPH selects the workload:
+      trie (default) — mkgraph-shaped 50k-word prefix-trie HCLG (~600k
+        states / 1.4M arcs, heavy-tailed fanout, word-end epsilon arcs into
+        LM history states) with PLANTED pseudo-likelihoods that walk real
+        graph paths at ~2 words/sec, so word-end epsilon traffic, beam
+        competition and backtrace run at production intensity.  The AM
+        forward still runs (and is timed) on the raw wave; its random-weight
+        output is attenuated 1e-3 and added to the planted frames to keep
+        the data dependence without disturbing the planted paths.
+      loop — round-1 workload: 2k-word phone loop decoding raw noise
+        (kept for comparability with BENCH_r01).
+    """
     import jax.numpy as jnp
 
     from catears_tpu.am.model import AcousticModel
     from catears_tpu.am.nnet import build_nnet
     from catears_tpu.decode.beam import BeamConfig
+    from catears_tpu.frontend.fbank import num_frames
     from catears_tpu.graph.device import DeviceFst
     from catears_tpu.graph.fst import FlatFst
     from catears_tpu.tools.toy import make_phone_loop_graph, make_toy_nnet
 
     rng = np.random.RandomState(seed)
-    num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
+    kind = os.environ.get("BENCH_GRAPH", "trie")
     hidden = int(os.environ.get("BENCH_HIDDEN", 1024))
-    num_words = int(os.environ.get("BENCH_WORDS", 2000))
-    max_fanout = int(os.environ.get("BENCH_FANOUT", 0))
-    graph = make_phone_loop_graph(rng, num_words=num_words,
-                                  phones_per_word=(3, 6), num_pdfs=num_pdfs,
-                                  max_fanout=max_fanout)
+    samples = int(seconds * 16000)
+    planted = true_words = None
+    if kind == "trie":
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+        num_words = int(os.environ.get("BENCH_WORDS", 50000))
+        tg = make_trie_graph(rng, num_words=num_words)
+        fst, tid2pdf, num_pdfs = tg.fst, tg.tid2pdf, tg.num_pdfs
+        planted, true_words = plant_logp(rng, tg, batch,
+                                         num_frames(samples))
+        group, beam, expand, eps_expand = 4, 4096, 16384, 8192
+    else:
+        num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
+        num_words = int(os.environ.get("BENCH_WORDS", 2000))
+        max_fanout = int(os.environ.get("BENCH_FANOUT", 0))
+        graph = make_phone_loop_graph(rng, num_words=num_words,
+                                      phones_per_word=(3, 6),
+                                      num_pdfs=num_pdfs,
+                                      max_fanout=max_fanout)
+        fst, tid2pdf = FlatFst.from_raw(graph.fst), graph.tid2pdf
+        # The phone-loop's states have 2 emitting arcs (self-loop +
+        # forward), so a 2-wide arc block wastes no sort bandwidth.
+        group, beam, expand, eps_expand = 2, 2048, 2048, 2048
     nnet = make_toy_nnet(rng, hidden=hidden, num_pdfs=num_pdfs,
                          num_tdnn_layers=5)
     nnet_def, params = build_nnet(nnet)
     prior = np.full(num_pdfs, 1.0 / num_pdfs, np.float32)
-    am = AcousticModel(nnet_def, params, np.log(prior), graph.tid2pdf,
+    am = AcousticModel(nnet_def, params, np.log(prior), tid2pdf,
                        nnet.left_context, nnet.right_context,
                        chunk_size=50, num_pdfs=num_pdfs)
-    fst = FlatFst.from_raw(graph.fst)
-    # Arc-block width: the toy phone-loop's states have 2 emitting arcs
-    # (self-loop + forward), so a 2-wide block wastes no sort bandwidth.
-    dfst = DeviceFst.build(fst, graph.tid2pdf,
-                           group=int(os.environ.get("BENCH_GROUP", 2)))
+    dfst = DeviceFst.build(fst, tid2pdf,
+                           group=int(os.environ.get("BENCH_GROUP", group)))
     cfg = BeamConfig(
-        beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
-        expand_size=int(os.environ.get("BENCH_EXPAND", 2048)),
-        eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 2048)),
+        beam_size=int(os.environ.get("BENCH_BEAM", beam)),
+        expand_size=int(os.environ.get("BENCH_EXPAND", expand)),
+        eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", eps_expand)),
         max_eps_iters=3,
         beam=16.0,
     )
-    samples = int(seconds * 16000)
     wave = (rng.randn(batch, samples) * 1000).astype(np.float32)
-    return am, fst, dfst, cfg, jnp.asarray(wave)
+    return am, fst, dfst, cfg, jnp.asarray(wave), planted, true_words
 
 
 def main():
@@ -91,8 +119,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 16))
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     chunk = int(os.environ.get("BENCH_CHUNK", 100))
-    am, fst, dfst, cfg, wave = build_bench_setup(batch, seconds)
+    am, fst, dfst, cfg, wave, planted, true_words = build_bench_setup(
+        batch, seconds)
     t_frames = num_frames(wave.shape[1])
+    planted_dev = (None if planted is None
+                   else jnp.asarray(np.transpose(planted, (1, 0, 2))))
 
     @jax.jit
     def am_forward(wave):
@@ -110,6 +141,10 @@ def main():
     def run_once():
         logp = am_forward(wave)
         logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P]
+        if planted_dev is not None:
+            # Planted path frames dominate; the 1e-3 AM term keeps the AM
+            # forward in the measured graph without disturbing the paths.
+            logp_t = planted_dev + 1e-3 * logp_t
         beam, init_trace = init_beam_batch(cfg, False, batch, dfst, None)
         chunks = []
         for off in range(0, t_frames, chunk):
@@ -139,18 +174,29 @@ def main():
                                jnp.argmin(beam.costs, axis=1)).astype(
                                    jnp.int32)
         words = backtrace_device(traces, best_slots)
-        return np.asarray(words), np.asarray(beam.costs)
+        return (np.asarray(words), np.asarray(beam.costs),
+                np.asarray(beam.overflow))
 
     # Warmup / compile
-    words, costs = run_once()
-    hyp0 = assemble_words(words[0])
+    words, costs, overflow = run_once()
+    hyps = [assemble_words(words[b]) for b in range(batch)]
+    hyp0 = hyps[0]
     assert np.isfinite(costs).any(), "beam died"
+    assert not overflow.any(), \
+        "arc expansion overflowed: raise BENCH_EXPAND/BENCH_EPS_EXPAND"
+    wer = None
+    if true_words is not None:
+        from catears_tpu.tools.score import edit_distance
+        errs = sum(edit_distance(true_words[b], hyps[b])[0]
+                   for b in range(batch))
+        ref_len = max(1, sum(len(t) for t in true_words))
+        wer = errs / ref_len
 
     runs = int(os.environ.get("BENCH_RUNS", 3))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        words, costs = run_once()
+        words, costs, overflow = run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
     audio_seconds = batch * seconds
@@ -161,9 +207,15 @@ def main():
         "unit": "xRT",
         "vs_baseline": round(value, 3),
     }))
-    print(f"# batch={batch} x {seconds}s, frames={t_frames}, "
+    n_words = sum(len(h) for h in hyps)
+    occupancy = float(np.isfinite(costs).mean())
+    extra = "" if wer is None else f", WER={wer:.3f}"
+    print(f"# graph={os.environ.get('BENCH_GRAPH', 'trie')} "
+          f"batch={batch} x {seconds}s, frames={t_frames}, "
           f"beam={cfg.beam_size}, times={[round(t, 3) for t in times]}, "
-          f"hyp0_words={len(hyp0)}", file=sys.stderr)
+          f"hyp0_words={len(hyp0)}, words/audio-sec="
+          f"{n_words / audio_seconds:.2f}, beam_occupancy={occupancy:.3f}"
+          f"{extra}", file=sys.stderr)
     return 0
 
 

@@ -23,6 +23,7 @@ from catears_tpu.decode.hyp import HostTrace, best_path
 from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.graph.device import DeviceFst, DeviceLm, expansion_bounds
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+from catears_tpu.utils import log
 from catears_tpu.utils.errors import BeamCapacityError
 
 
@@ -118,6 +119,7 @@ class Decoder:
                 jnp.asarray(logp), jnp.asarray(valid))
             self.traces.extend(_traces_to_host(trace, n, 0))
             self.num_frames_decoded += n
+            log.count("frames_decoded", n)
 
     @property
     def overflowed(self) -> bool:
@@ -186,6 +188,7 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         for u in range(b)
     ]
     len_arr = np.asarray(lengths)
+    log.count("frames_decoded", int(len_arr.sum()))
     for off in range(0, t, chunk_frames):
         n = min(chunk_frames, t - off)
         chunk = np.zeros((chunk_frames, b, p), np.float32)

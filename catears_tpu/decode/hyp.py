@@ -28,6 +28,16 @@ def backtrace(traces: List[HostTrace], slot: int) -> List[int]:
     """Follow prev_slot links from `slot` in the last trace to the root."""
     if not traces:
         return []
+    if len(traces) >= 64:
+        # Long utterances: the native C++ walker beats the per-frame Python
+        # loop once stacking the traces is amortized.
+        from catears_tpu.utils import native
+        if native.available():
+            prev = np.stack([t.prev_slot for t in traces])
+            words = np.stack([t.words for t in traces])
+            out = native.backtrace(prev, words, slot)
+            if out is not None:
+                return out
     words_rev: List[int] = []
     cur = slot
     for f in range(len(traces) - 1, -1, -1):

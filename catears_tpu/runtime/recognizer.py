@@ -32,6 +32,7 @@ from catears_tpu.io.binfmt import read_vec0_file
 from catears_tpu.io.config import Configuration
 from catears_tpu.io.symbols import SymbolTable
 from catears_tpu.io.wav import WaveFormat, WaveReader
+from catears_tpu.utils import log
 from catears_tpu.utils.errors import CorruptionError
 
 AM_SCALE = 0.1  # hardcoded in the reference, src/ce_stt.cc:263
@@ -113,19 +114,24 @@ class Utterance:
         samples = self.wave_reader.process(data)
         if samples.size == 0:
             return 0
+        log.count("audio_seconds", samples.size / 16000.0)
         if self.session is not None:
-            self.session.process(samples)
+            with log.timed("process"):
+                self.session.process(samples)
             decoded = self.session.num_frames_decoded
             if decoded - self._last_partial_at >= PARTIAL_HYP_INTERVAL:
                 self._store_hyp(end_of_stream=False)
                 self._last_partial_at = decoded
             return int(samples.size)
-        feats = self.fbank_stream.process(samples)
-        if self.cmvn_stream is not None and feats.shape[0]:
-            feats = self.cmvn_stream.process(feats)
-        logp = self.am_stream.process(feats)
+        with log.timed("frontend"):
+            feats = self.fbank_stream.process(samples)
+            if self.cmvn_stream is not None and feats.shape[0]:
+                feats = self.cmvn_stream.process(feats)
+        with log.timed("am"):
+            logp = self.am_stream.process(feats)
         if logp.shape[0]:
-            self.decoder.process(logp)
+            with log.timed("decode"):
+                self.decoder.process(logp)
             decoded = self.decoder.num_frames_decoded
             if decoded - self._last_partial_at >= PARTIAL_HYP_INTERVAL:
                 self._store_hyp(end_of_stream=False)

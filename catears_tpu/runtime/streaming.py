@@ -38,6 +38,7 @@ from catears_tpu.frontend.fbank import (
 )
 from catears_tpu.graph.device import DeviceFst, DeviceLm
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+from catears_tpu.utils import log
 
 
 def _am_apply(nnet_def, quantized, params, log_prior, window):
@@ -137,6 +138,7 @@ class StreamingSession:
                 self.dlm, self._ctx, self.beam, samples)
         self._consumed_frames += n_frames
         self.num_frames_decoded += self.f
+        log.count("frames_decoded", self.f)
         self._dev_traces.append((trace, self.f))
 
     def process(self, samples: np.ndarray) -> None:
@@ -197,6 +199,7 @@ class StreamingSession:
             n_valid = int(valid[off:off + f].sum())
             self._dev_traces.append((trace, n_valid))
             self.num_frames_decoded += n_valid
+            log.count("frames_decoded", n_valid)
 
     def _materialize(self) -> None:
         for trace, n_valid in self._dev_traces:

@@ -71,6 +71,21 @@ def edit_distance(ref: List[str], hyp: List[str]):
     return int(dp[n, m]), subs, dels, ins
 
 
+def token_errors(ref: List[str], hyp: List[str]) -> int:
+    """Levenshtein error count; native C++ DP when the extension is built
+    (the S/D/I split of `edit_distance` is only needed for reporting)."""
+    from catears_tpu.utils import native
+
+    if native.available():
+        vocab: dict = {}
+        ids = [[vocab.setdefault(t, len(vocab)) for t in seq]
+               for seq in (ref, hyp)]
+        n = native.edit_distance(ids[0], ids[1])
+        if n is not None:
+            return n
+    return edit_distance(ref, hyp)[0]
+
+
 @dataclass
 class ScoreResult:
     errors: int = 0
@@ -109,7 +124,7 @@ def score(ref_path: str, hyp_path: str, char_tok: bool = False) -> ScoreResult:
             result.missing += 1
             result.errors += len(ref)
             continue
-        err = edit_distance(ref, hyps[name])[0]
+        err = token_errors(ref, hyps[name])
         result.errors += err
         result.per_utt[name] = err / max(len(ref), 1)
     return result

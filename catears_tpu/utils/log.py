@@ -2,8 +2,9 @@
 
 The reference has stdout log macros and a single exposed metric
 (loglikelihood_per_frame).  Here: a namespaced stdlib logger plus a tiny
-counter/timer registry the runtime uses for observability (frames decoded,
-audio seconds, wall time per stage) — queryable via `metrics()`.
+counter/timer registry: the runtime counts `audio_seconds` (Utterance) and
+`frames_decoded` (Decoder/decode_batch) and times the `frontend`/`am`/
+`decode`/`process` stages — queryable via `metrics()`.
 """
 
 from __future__ import annotations

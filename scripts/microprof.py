@@ -23,13 +23,17 @@ from catears_tpu.decode import beam as B  # noqa: E402
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 FRAMES = int(os.environ.get("PROF_FRAMES", 100))
 
-am, fst, dfst, cfg, wave = build_bench_setup(BATCH, 10.0)
+am, fst, dfst, cfg, wave, planted, _tw = build_bench_setup(BATCH, 10.0)
 if os.environ.get("PROF_GROUP"):
     from catears_tpu.graph.device import DeviceFst
     dfst = DeviceFst.build(fst, am.tid2pdf,
                            group=int(os.environ["PROF_GROUP"]))
 rng = np.random.RandomState(0)
-logp = jnp.asarray(rng.randn(FRAMES, BATCH, am.num_pdfs).astype(np.float32))
+if planted is not None:  # trie workload: realistic planted-path frames
+    logp = jnp.asarray(np.transpose(planted, (1, 0, 2))[:FRAMES])
+else:
+    logp = jnp.asarray(
+        rng.randn(FRAMES, BATCH, am.num_pdfs).astype(np.float32))
 beam0, _ = B.init_beam_batch(cfg, False, BATCH, dfst, None)
 
 

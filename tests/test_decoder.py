@@ -333,3 +333,45 @@ class TestOverflowSafety:
         bad_tid2pdf = graph.tid2pdf[:max(2, graph.tid2pdf.size // 2)]
         with pytest.raises(CorruptionError):
             DeviceFst.build(fst, bad_tid2pdf)
+
+
+class TestTrieGraph:
+    """mkgraph-shaped benchmark graph (tools/biggraph.py): correctness of
+    the generator + device decode on planted-path pseudo-likelihoods."""
+
+    def _make(self, seed=1, **kw):
+        from catears_tpu.tools.biggraph import make_trie_graph
+        rng = np.random.RandomState(seed)
+        defaults = dict(num_words=120, num_phones=25, bigram_states=30,
+                        variants=2)
+        defaults.update(kw)
+        return rng, make_trie_graph(rng, **defaults)
+
+    def test_structure(self):
+        _, g = self._make()
+        f = g.fst
+        fanout = np.diff(f.offsets)
+        # Determinized-lexicon shape: fanout bounded by phone inventory,
+        # not vocab; word-end epsilons present; bounded epsilon depth.
+        assert fanout.max() <= 25 + 5
+        assert (f.arc_ilabel == 0).sum() >= 120  # word ends + backoffs
+        from catears_tpu.graph.device import _eps_depth
+        assert _eps_depth(f) == 2
+        assert (g.fst.arc_ilabel <= 2 * g.num_pdfs).all()
+        # every word has a pdf path of 3 per phone
+        lens = np.diff(g.word_pdf_off[:-1])
+        assert lens[1:].min() >= 3 * 3 and lens[1:].max() <= 8 * 3
+
+    def test_planted_decode_matches_oracle_and_truth(self):
+        from catears_tpu.tools.biggraph import plant_logp
+        rng, g = self._make()
+        logp, words = plant_logp(rng, g, 1, 120)
+        cfg = BeamConfig(beam_size=256, expand_size=2048,
+                         eps_expand_size=1024, max_eps_iters=4,
+                         beam=1e9, am_scale=0.1)
+        o, d = run_both(g.fst, g.tid2pdf, logp[0], cfg)
+        assert d.words == o.words
+        assert abs(d.weight - o.weight) < 1e-3
+        # the decode recovers the planted words (modulo a trailing
+        # partial word cut by the frame limit)
+        assert d.words[:len(words[0])] == words[0]

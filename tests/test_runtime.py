@@ -155,3 +155,17 @@ class TestSessionCheckpoint:
         utt_b.process(payload[half:])
         utt_b.end_of_stream()
         assert utt_b.hyp == utt_ref.hyp
+
+
+class TestObservability:
+    def test_metrics_counters_move(self, recognizer, data_dir):
+        """The runtime counts audio seconds / decoded frames and stage time
+        (reference exposes only loglikelihood_per_frame; SURVEY.md §5)."""
+        from catears_tpu.utils import log
+
+        log.reset_metrics()
+        decode_wav_file(recognizer, os.path.join(data_dir, "en-us-hello.wav"))
+        m = log.metrics()
+        assert m["audio_seconds"] > 0.3
+        assert m["frames_decoded"] >= 40
+        assert m.get("process_seconds", 0) + m.get("decode_seconds", 0) > 0

@@ -197,3 +197,14 @@ class TestScore:
         hyp.write_text("utt1 a b\n")
         r = score.score(str(ref), str(hyp))
         assert r.missing == 1 and r.errors == 1
+
+
+class TestTokenErrors:
+    def test_matches_python_dp(self):
+        from catears_tpu.tools.score import edit_distance, token_errors
+
+        rng = np.random.RandomState(3)
+        for _ in range(20):
+            ref = [str(x) for x in rng.randint(0, 8, rng.randint(0, 12))]
+            hyp = [str(x) for x in rng.randint(0, 8, rng.randint(0, 12))]
+            assert token_errors(ref, hyp) == edit_distance(ref, hyp)[0]
