@@ -81,8 +81,11 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     am = AcousticModel(nnet_def, params, np.log(prior), tid2pdf,
                        nnet.left_context, nnet.right_context,
                        chunk_size=50, num_pdfs=num_pdfs)
+    from catears_tpu.graph.transform import close_epsilons
+    fst, eps_ok = close_epsilons(fst)
     dfst = DeviceFst.build(fst, tid2pdf,
-                           group=int(os.environ.get("BENCH_GROUP", group)))
+                           group=int(os.environ.get("BENCH_GROUP", group)),
+                           eps_depth_cap=1 if eps_ok else None)
     cfg = BeamConfig(
         beam_size=int(os.environ.get("BENCH_BEAM", beam)),
         expand_size=int(os.environ.get("BENCH_EXPAND", expand)),
@@ -277,7 +280,82 @@ def main_streaming():
     return 0
 
 
+def main_scaling():
+    """Data-parallel scaling on the virtual 8-device CPU mesh.
+
+    Decodes the same fixed batch unsharded (1 device) and sharded over
+    2/4/8 devices of a ('data', 'model') mesh.  NOTE on interpretation:
+    the virtual devices share this host's physical cores, so wall-clock
+    cannot speed up with device count here — what this measures is the
+    GSPMD partitioning + collective OVERHEAD at each mesh size
+    (efficiency = t_unsharded / t_sharded).  On real multi-chip hardware
+    the same code path measures true scaling; the BASELINE.md target is
+    >= 80% efficiency.
+    """
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from catears_tpu.frontend.fbank import num_frames
+    from catears_tpu.parallel.mesh import ShardedPipeline, make_mesh
+
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    seconds = float(os.environ.get("BENCH_SECONDS", 2.0))
+    os.environ.setdefault("BENCH_GRAPH", "loop")
+    os.environ.setdefault("BENCH_WORDS", "200")
+    os.environ.setdefault("BENCH_PDFS", "512")
+    os.environ.setdefault("BENCH_HIDDEN", "256")
+    os.environ.setdefault("BENCH_BEAM", "512")
+    os.environ.setdefault("BENCH_EXPAND", "1024")
+    os.environ.setdefault("BENCH_EPS_EXPAND", "1024")
+    am, fst, dfst, cfg, wave, _, _ = build_bench_setup(batch, seconds)
+    t_frames = num_frames(wave.shape[1])
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+
+    results = {}
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev, model_parallel=1)
+        pipe = ShardedPipeline(am, dfst, None, cfg, mesh)
+        w = jax.device_put(wave, pipe.data_sharding)
+        with mesh:
+            step = pipe.jit_full_step(t_frames)
+
+            def run():
+                beam = pipe.make_beam(batch)
+                logp, beam, _ = step(w, beam)
+                return np.asarray(beam.costs)
+
+            costs = run()  # compile
+            assert np.isfinite(costs).any()
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                run()
+                times.append(time.perf_counter() - t0)
+        results[n_dev] = batch * seconds / min(times)
+        print(f"# devices={n_dev}: {results[n_dev]:.2f} xRT",
+              file=sys.stderr)
+    eff = results[8] / results[1]
+    print(json.dumps({
+        "metric": "dp_sharding_efficiency_8dev",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "vs_baseline": round(eff / 0.8, 3),
+    }))
+    print(f"# xRT by devices: "
+          f"{ {k: round(v, 2) for k, v in results.items()} } "
+          f"(virtual CPU mesh: measures partitioning overhead, not "
+          f"speedup)", file=sys.stderr)
+    return 0
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "streaming":
         sys.exit(main_streaming())
+    if os.environ.get("BENCH_MODE") == "scaling":
+        sys.exit(main_scaling())
     sys.exit(main())

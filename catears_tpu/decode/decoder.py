@@ -23,6 +23,7 @@ from catears_tpu.decode.hyp import HostTrace, best_path
 from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.graph.device import DeviceFst, DeviceLm, expansion_bounds
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
+from catears_tpu.graph.transform import close_epsilons
 from catears_tpu.utils import log
 from catears_tpu.utils.errors import BeamCapacityError
 
@@ -59,23 +60,32 @@ class Decoder:
                  delta_lm: Optional[DeltaLmFst] = None,
                  config: Optional[BeamConfig] = None,
                  chunk_frames: int = 20,
-                 arc_group: int = 4):
+                 arc_group: int = 4,
+                 close_eps: bool = True):
         auto_capacity = config is None
         if config is None:
             config = BeamConfig(am_scale=am_scale)
         elif config.am_scale != am_scale:
             config = BeamConfig(**{**config.__dict__, "am_scale": am_scale})
+        # Collapse epsilon chains offline so the per-frame closure runs one
+        # round (exact transform; see graph.transform.close_epsilons).
+        dec_fst, cap = fst, None
+        if close_eps:
+            closed, ok = close_epsilons(fst)
+            if ok:
+                dec_fst, cap = closed, 1
         if auto_capacity:
             # No explicit geometry: size capacities so truncation is
             # impossible on this graph.  Explicit configs keep their
             # (smaller, faster) capacities and rely on the runtime
             # overflow flag raising BeamCapacityError.
-            config = safe_config(fst, arc_group, config,
+            config = safe_config(dec_fst, arc_group, config,
                                  delta_lm is not None)
         self.cfg = config
         self.fst = fst
         self.delta_lm = delta_lm
-        self.dfst = DeviceFst.build(fst, tid2pdf, group=arc_group)
+        self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
+                                    eps_depth_cap=cap)
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
@@ -170,14 +180,22 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  delta_lm: Optional[DeltaLmFst] = None,
                  config: Optional[BeamConfig] = None,
                  chunk_frames: int = 50,
-                 arc_group: int = 4) -> List[Hypothesis]:
+                 arc_group: int = 4,
+                 close_eps: bool = True) -> List[Hypothesis]:
     """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
+    dec_fst, cap = fst, None
+    if close_eps:
+        closed, ok = close_epsilons(fst)
+        if ok:
+            dec_fst, cap = closed, 1
     if config is None:
-        config = safe_config(fst, arc_group, BeamConfig(am_scale=am_scale),
+        config = safe_config(dec_fst, arc_group,
+                             BeamConfig(am_scale=am_scale),
                              delta_lm is not None)
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
-    dfst = DeviceFst.build(fst, tid2pdf, group=arc_group)
+    dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
+                           eps_depth_cap=cap)
     dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
     has_lm = delta_lm is not None
 

@@ -131,8 +131,11 @@ class DeviceFst:
     max_emit_fanout: int  # static: max emitting arcs of any state
 
     @classmethod
-    def build(cls, fst: FlatFst, tid2pdf: np.ndarray,
-              group: int = 4) -> "DeviceFst":
+    def build(cls, fst: FlatFst, tid2pdf: np.ndarray, group: int = 4,
+              eps_depth_cap: Optional[int] = None) -> "DeviceFst":
+        """eps_depth_cap: caller-guaranteed closure round bound (e.g. 1
+        after graph.transform.close_epsilons) — the syntactic chain depth
+        measured here stays larger because closure keeps original arcs."""
         s = fst.num_states
         offsets = fst.offsets.astype(np.int64)
         n_all = np.diff(offsets)
@@ -195,10 +198,17 @@ class DeviceFst:
             arc_packed=jnp.asarray(flat.reshape(n_rows, group * 4)),
             emit_block=jnp.asarray(np.concatenate(
                 [block.reshape(s, group * 4), state_packed], axis=1)),
-            eps_depth=_eps_depth(fst),
+            eps_depth=cls._capped_depth(_eps_depth(fst), eps_depth_cap),
             group=group,
             max_emit_fanout=int(n_emit.max(initial=0)),
         )
+
+    @staticmethod
+    def _capped_depth(computed: Optional[int],
+                      cap: Optional[int]) -> Optional[int]:
+        if cap is None:
+            return computed
+        return cap if computed is None else min(computed, cap)
 
     @property
     def num_states(self) -> int:

@@ -44,11 +44,12 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     return start, stop
 
 
-def global_sum(x: float, mesh=None) -> float:
+def global_sum(x: float) -> float:
     """Sum a host-local scalar across all processes (metrics reduction)."""
     if jax.process_count() == 1:
         return float(x)
-    arr = jax.make_array_from_process_local_data(
-        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
         np.asarray([x], np.float64))
-    return float(jax.numpy.sum(arr))
+    return float(np.sum(gathered))

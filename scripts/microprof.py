@@ -27,7 +27,8 @@ am, fst, dfst, cfg, wave, planted, _tw = build_bench_setup(BATCH, 10.0)
 if os.environ.get("PROF_GROUP"):
     from catears_tpu.graph.device import DeviceFst
     dfst = DeviceFst.build(fst, am.tid2pdf,
-                           group=int(os.environ["PROF_GROUP"]))
+                           group=int(os.environ["PROF_GROUP"]),
+                           eps_depth_cap=dfst.eps_depth)
 rng = np.random.RandomState(0)
 if planted is not None:  # trie workload: realistic planted-path frames
     logp = jnp.asarray(np.transpose(planted, (1, 0, 2))[:FRAMES])

@@ -115,3 +115,67 @@ class TestFlatFstConversions:
         np.testing.assert_array_equal(back.offsets, pk.offsets)
         np.testing.assert_array_equal(back.arc_ilabel, pk.arc_ilabel)
         np.testing.assert_array_equal(back.arc_next, pk.arc_next)
+
+
+class TestCloseEpsilons:
+    """graph.transform.close_epsilons: exact depth-1 closure."""
+
+    def test_trie_parity_one_round(self):
+        from catears_tpu.decode.oracle import OracleDecoder
+        from catears_tpu.graph.transform import close_epsilons
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+
+        rng = np.random.RandomState(1)
+        g = make_trie_graph(rng, num_words=150, num_phones=30,
+                            bigram_states=40, variants=2)
+        closed, ok = close_epsilons(g.fst)
+        assert ok
+        logp, _ = plant_logp(rng, g, 1, 120)
+        hyps = []
+        for fst, iters in ((g.fst, 6), (closed, 1)):
+            o = OracleDecoder(fst, g.tid2pdf, am_scale=0.1, beam=12.0,
+                              beam_size=256, max_eps_iters=iters)
+            for row in logp[0]:
+                o.process(row)
+            hyps.append(o.best_path(end_of_stream=True))
+        assert hyps[0].words == hyps[1].words
+        assert abs(hyps[0].weight - hyps[1].weight) < 1e-4
+
+    def test_multi_olabel_chain_bails(self):
+        from catears_tpu.graph.transform import close_epsilons
+
+        # 0 -eps:olabel1-> 1 -eps:olabel2-> 2 : inexpressible as one arc
+        fst = FlatFst.from_arrays(
+            0, np.array([np.inf, np.inf, 0.0], np.float32),
+            state_of_arc=np.array([0, 1]), arc_next=np.array([1, 2]),
+            arc_ilabel=np.array([0, 0]), arc_olabel=np.array([1, 2]),
+            arc_weight=np.array([0.5, 0.5], np.float32))
+        out, ok = close_epsilons(fst)
+        assert not ok and out is fst
+
+    def test_eps_cycle_converges(self):
+        from catears_tpu.graph.transform import close_epsilons
+
+        # positive-weight eps 3-cycle: closure = simple paths, converges
+        fst = FlatFst.from_arrays(
+            0, np.array([0.0, np.inf, np.inf], np.float32),
+            state_of_arc=np.array([0, 1, 2]), arc_next=np.array([1, 2, 0]),
+            arc_ilabel=np.array([0, 0, 0]), arc_olabel=np.array([0, 0, 0]),
+            arc_weight=np.array([0.5, 0.25, 0.125], np.float32))
+        out, ok = close_epsilons(fst)
+        assert ok
+        # state 0 reaches 1, 2 and itself (full cycle) directly
+        lo, hi = out.arc_range(0)
+        dsts = sorted(out.arc_next[lo:hi].tolist())
+        assert dsts == [0, 1, 2]
+
+    def test_eps_free_graph_unchanged(self):
+        from catears_tpu.graph.transform import close_epsilons
+
+        fst = FlatFst.from_arrays(
+            0, np.array([0.0, 0.0], np.float32),
+            state_of_arc=np.array([0]), arc_next=np.array([1]),
+            arc_ilabel=np.array([3]), arc_olabel=np.array([0]),
+            arc_weight=np.array([0.5], np.float32))
+        out, ok = close_epsilons(fst)
+        assert ok and out is fst
