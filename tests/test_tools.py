@@ -208,3 +208,201 @@ class TestTokenErrors:
             ref = [str(x) for x in rng.randint(0, 8, rng.randint(0, 12))]
             hyp = [str(x) for x in rng.randint(0, 8, rng.randint(0, 12))]
             assert token_errors(ref, hyp) == edit_distance(ref, hyp)[0]
+
+
+class TestArpaToFst:
+    ARPA2 = """\\data\\
+ngram 1=5
+ngram 2=4
+
+\\1-grams:
+-99\t<s>\t-0.30103
+-0.69897\t</s>
+-0.52288\ta\t-0.39794
+-0.69897\tb\t-0.30103
+-1.0\tc
+
+\\2-grams:
+-0.30103\t<s> a
+-0.39794\ta b
+-0.52288\tb </s>
+-0.69897\ta a
+
+\\end\\
+"""
+    ARPA3 = """\\data\\
+ngram 1=4
+ngram 2=3
+ngram 3=2
+
+\\1-grams:
+-99 <s> -0.4
+-0.6 </s>
+-0.5 x -0.3
+-0.8 y -0.2
+
+\\2-grams:
+-0.4 <s> x -0.15
+-0.5 x y -0.25
+-0.9 y x
+
+\\3-grams:
+-0.3 <s> x y
+-0.6 x y x
+
+\\end\\
+"""
+
+    @pytest.mark.parametrize("arpa,alphabet,maxlen",
+                             [("ARPA2", "abc", 3), ("ARPA3", "xy", 4)])
+    def test_exhaustive_sentence_parity(self, tmp_path, arpa, alphabet,
+                                        maxlen):
+        """FST backoff walk == raw ARPA-table scorer for every short
+        sentence (the reference's LmFst parity strategy,
+        test/fst_test.cc:153-176)."""
+        import itertools
+
+        from catears_tpu.graph.fst import LmFst
+        from catears_tpu.tools.arpa import (arpa_to_fst, parse_arpa,
+                                            sentence_cost)
+
+        text = getattr(self, arpa)
+        path = tmp_path / "lm.arpa"
+        path.write_text(text)
+        fst, vocab = arpa_to_fst(str(path))
+        lm = LmFst(**fst.__dict__)
+        grams = parse_arpa(text.splitlines())
+
+        def fst_cost(words):
+            s, total = fst.start, 0.0
+            for w in list(words) + ["</s>"]:
+                hit = lm.get_arc_backoff(s, vocab[w])
+                if hit is None:
+                    return float("inf")
+                s, wgt = hit
+                total += wgt
+            return total + lm.final_backoff(s)
+
+        for n in range(maxlen + 1):
+            for sent in itertools.product(alphabet, repeat=n):
+                ref = sentence_cost(grams, list(sent))
+                got = fst_cost(sent)
+                same_inf = ref == got == float("inf")
+                assert same_inf or abs(ref - got) < 1e-5, (sent, ref, got)
+
+    def test_backoff_arc_first_in_span(self, tmp_path):
+        """LmFst requires the epsilon backoff arc first in each span."""
+        from catears_tpu.tools.arpa import arpa_to_fst
+
+        path = tmp_path / "lm.arpa"
+        path.write_text(self.ARPA2)
+        fst, _ = arpa_to_fst(str(path))
+        for s in range(fst.num_states):
+            lo, hi = fst.arc_range(s)
+            eps = np.flatnonzero(fst.arc_ilabel[lo:hi] == 0)
+            assert eps.size <= 1
+            if eps.size:
+                assert eps[0] == 0
+
+
+class TestExtractId2Pdf:
+    MDL = """<TransitionModel>
+<Topology>
+<TopologyEntry>
+<ForPhones>
+1 2
+</ForPhones>
+<State> 0 <PdfClass> 0 <Transition> 0 0.75 <Transition> 1 0.25 </State>
+<State> 1 <PdfClass> 1 <Transition> 1 0.75 <Transition> 2 0.25 </State>
+<State> 2 </State>
+</TopologyEntry>
+</Topology>
+<Triples> 4
+1 0 0
+1 1 1
+2 0 2
+2 1 3
+</Triples>
+<LogProbs>
+ [ 0 ]
+</LogProbs>
+</TransitionModel>
+"""
+
+    def test_triples_numbering(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "extract_id2pdf",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "extract_id2pdf.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        num_pdfs, tid2pdf = mod.parse_transition_model(self.MDL)
+        assert num_pdfs == 4
+        # 4 transition states x 2 transitions each = 8 tids (+ tid 0)
+        assert tid2pdf == [0, 0, 0, 1, 1, 2, 2, 3, 3]
+
+
+class TestMkgraphRecipe:
+    def test_end_to_end_decode_dir(self, tmp_path, data_dir):
+        """mkgraph.py assembles a working decode dir from 'Kaldi' inputs:
+        HCLG fst + words.txt + ARPA LM + id2pdf text + converted AM."""
+        from catears_tpu.decode.beam import BeamConfig
+        from catears_tpu.runtime.recognizer import Recognizer, decode_wav_file
+        from catears_tpu.tools.toy import (make_phone_loop_graph,
+                                           write_toy_model)
+
+        src = tmp_path / "kaldi_artifacts"
+        conf_path = write_toy_model(str(src), num_words=5, hidden=32,
+                                    num_pdfs=24)
+        rng = np.random.RandomState(0)
+        graph = make_phone_loop_graph(rng, num_words=5, num_pdfs=24)
+        id2pdf = src / "id2pdf.txt"
+        with open(id2pdf, "w") as fd:
+            fd.write(f"24\n{graph.num_transitions}\n")
+            for tid, pdf in enumerate(graph.tid2pdf):
+                fd.write(f"{tid} {pdf}\n")
+        arpa = src / "lm.arpa"
+        words = [f"word{i}" for i in range(1, 6)]
+        lines = ["\\data\\", "ngram 1=7", "", "\\1-grams:",
+                 "-99\t<s>\t-0.3", "-0.7\t</s>"]
+        lines += [f"-0.8\t{w}\t-0.2" for w in words]
+        lines += ["", "\\2-grams:", "-0.4\t<s> word1", "", "\\end\\"]
+        arpa.write_text("\n".join(lines) + "\n")
+        # the toy ARPA has a 2-gram section header only when counts say so
+        arpa.write_text(arpa.read_text().replace("ngram 1=7",
+                                                 "ngram 1=7\nngram 2=1"))
+
+        out = tmp_path / "graph"
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "mkgraph", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "mkgraph.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rc = mod.main([
+            "--out", str(out), "--words", str(src / "words.txt"),
+            "--hclg", str(src / "toy.fst"), "--lm", str(arpa),
+            "--id2pdf", str(id2pdf), "--nnet", str(src / "toy.nnet"),
+            "--prior", str(src / "toy.prior"), "--left-context", "2",
+            "--right-context", "2", "--chunk-size", "8"])
+        assert rc == 0
+        for name in ("catears.conf", "hclg.fst", "g.pfst",
+                     "original_lm.bin", "tid2pdf.bin", "am.nnet",
+                     "am.prior", "words.txt"):
+            assert (out / name).exists(), name
+
+        cfg = BeamConfig(beam_size=128, expand_size=1024,
+                         eps_expand_size=512, max_eps_iters=6, beam=1e9)
+        rec = Recognizer(str(out / "catears.conf"), beam_config=cfg)
+        assert rec.delta_lm is not None  # big-LM rescoring wired up
+        # delta(word1 | <s>) = bigram cost - unigram subtraction
+        import math
+        wid = rec.symbol_table.get_id("word1")
+        nxt, delta = rec.delta_lm.get_arc(rec.delta_lm.start_state(), wid)
+        assert abs(delta - (0.4 - 0.8) * math.log(10)) < 1e-5
+        hyp = decode_wav_file(rec, os.path.join(data_dir,
+                                                "en-us-hello.wav"))
+        assert isinstance(hyp, str)
+        assert rec is not None
