@@ -25,7 +25,11 @@ import numpy as np
 
 
 def build_bench_setup(batch: int, seconds: float, seed: int = 0):
-    """Returns (am, fst, dfst, cfg, wave, planted, true_words).
+    """Returns (am, fst, dfst, dlm, cfg, wave, planted, true_words).
+
+    BENCH_LM=1 additionally builds an ARPA-scale delta-LM G' over the
+    graph vocabulary (2x vocab states) and rescores on the fly during
+    decode (dlm is None otherwise).
 
     BENCH_GRAPH selects the workload:
       trie (default) — mkgraph-shaped 50k-word prefix-trie HCLG (~600k
@@ -61,7 +65,10 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         fst, tid2pdf, num_pdfs = tg.fst, tg.tid2pdf, tg.num_pdfs
         planted, true_words = plant_logp(rng, tg, batch,
                                          num_frames(samples))
-        group, beam, expand, eps_expand = 4, 4096, 16384, 8192
+        # Sized from the measured capacity high-water mark at 50k words
+        # (28384, 512) + headroom; the warmup asserts no overflow and
+        # reports the marks, so resizing after a graph change is mechanical.
+        group, beam, expand, eps_expand = 4, 4096, 32768, 1024
     else:
         num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
         num_words = int(os.environ.get("BENCH_WORDS", 2000))
@@ -80,12 +87,21 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     prior = np.full(num_pdfs, 1.0 / num_pdfs, np.float32)
     am = AcousticModel(nnet_def, params, np.log(prior), tid2pdf,
                        nnet.left_context, nnet.right_context,
-                       chunk_size=50, num_pdfs=num_pdfs)
+                       chunk_size=50, num_pdfs=num_pdfs,
+                       quantized=os.environ.get("BENCH_QUANT") == "1")
     from catears_tpu.graph.transform import close_epsilons
     fst, eps_ok = close_epsilons(fst)
     dfst = DeviceFst.build(fst, tid2pdf,
                            group=int(os.environ.get("BENCH_GROUP", group)),
                            eps_depth_cap=1 if eps_ok else None)
+    dlm = None
+    if os.environ.get("BENCH_LM") == "1":
+        from catears_tpu.graph.device import DeviceLm
+        from catears_tpu.tools.biggraph import make_big_lm
+        big = make_big_lm(rng, num_words=num_words)
+        dlm = DeviceLm.build(big.delta_lm())
+        print(f"# delta-LM G': {big.num_states} states, {big.num_arcs} "
+              f"arcs", file=sys.stderr)
     cfg = BeamConfig(
         beam_size=int(os.environ.get("BENCH_BEAM", beam)),
         expand_size=int(os.environ.get("BENCH_EXPAND", expand)),
@@ -94,7 +110,7 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         beam=16.0,
     )
     wave = (rng.randn(batch, samples) * 1000).astype(np.float32)
-    return am, fst, dfst, cfg, jnp.asarray(wave), planted, true_words
+    return am, fst, dfst, dlm, cfg, jnp.asarray(wave), planted, true_words
 
 
 def main():
@@ -122,8 +138,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 16))
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     chunk = int(os.environ.get("BENCH_CHUNK", 100))
-    am, fst, dfst, cfg, wave, planted, true_words = build_bench_setup(
+    am, fst, dfst, dlm, cfg, wave, planted, true_words = build_bench_setup(
         batch, seconds)
+    has_lm = dlm is not None
     t_frames = num_frames(wave.shape[1])
     planted_dev = (None if planted is None
                    else jnp.asarray(np.transpose(planted, (1, 0, 2))))
@@ -148,7 +165,7 @@ def main():
             # Planted path frames dominate; the 1e-3 AM term keeps the AM
             # forward in the measured graph without disturbing the paths.
             logp_t = planted_dev + 1e-3 * logp_t
-        beam, init_trace = init_beam_batch(cfg, False, batch, dfst, None)
+        beam, init_trace = init_beam_batch(cfg, has_lm, batch, dfst, dlm)
         chunks = []
         for off in range(0, t_frames, chunk):
             n = min(chunk, t_frames - off)
@@ -161,7 +178,7 @@ def main():
                      jnp.zeros((chunk - n, batch, logp_t.shape[2]),
                                jnp.float32)])
             valid = jnp.zeros((chunk, batch), bool).at[:n].set(True)
-            beam, trace = decode_chunk(cfg, False, dfst, None, beam, lp,
+            beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam, lp,
                                        valid)
             chunks.append(jax.tree.map(lambda x: x[:n], trace))
         traces = FrameTrace(
@@ -178,15 +195,17 @@ def main():
                                    jnp.int32)
         words = backtrace_device(traces, best_slots)
         return (np.asarray(words), np.asarray(beam.costs),
-                np.asarray(beam.overflow))
+                np.asarray(beam.overflow), np.asarray(beam.hiwater))
 
     # Warmup / compile
-    words, costs, overflow = run_once()
+    words, costs, overflow, hiwater = run_once()
     hyps = [assemble_words(words[b]) for b in range(batch)]
     hyp0 = hyps[0]
     assert np.isfinite(costs).any(), "beam died"
-    assert not overflow.any(), \
-        "arc expansion overflowed: raise BENCH_EXPAND/BENCH_EPS_EXPAND"
+    hw = hiwater.max(axis=0)  # (emit_overflow, eps) slots actually needed
+    assert not overflow.any(), (
+        f"arc expansion overflowed: needed (emit_over, eps) <= {tuple(hw)}; "
+        f"raise BENCH_EXPAND/BENCH_EPS_EXPAND")
     wer = None
     if true_words is not None:
         from catears_tpu.tools.score import edit_distance
@@ -199,7 +218,7 @@ def main():
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        words, costs, overflow = run_once()
+        words, costs, overflow, hiwater = run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
     audio_seconds = batch * seconds
@@ -214,11 +233,11 @@ def main():
     occupancy = float(np.isfinite(costs).mean())
     extra = "" if wer is None else f", WER={wer:.3f}"
     print(f"# graph={os.environ.get('BENCH_GRAPH', 'trie')} "
-          f"batch={batch} x {seconds}s, frames={t_frames}, "
+          f"lm={int(has_lm)} batch={batch} x {seconds}s, frames={t_frames}, "
           f"beam={cfg.beam_size}, times={[round(t, 3) for t in times]}, "
           f"hyp0_words={len(hyp0)}, words/audio-sec="
-          f"{n_words / audio_seconds:.2f}, beam_occupancy={occupancy:.3f}"
-          f"{extra}", file=sys.stderr)
+          f"{n_words / audio_seconds:.2f}, beam_occupancy={occupancy:.3f}, "
+          f"capacity_hiwater={tuple(hw)}{extra}", file=sys.stderr)
     return 0
 
 
@@ -254,21 +273,35 @@ def main_streaming():
         pcm = (rng.randn(int(seconds * 16000)) * 1000).astype("<i2").tobytes()
         fmt = WaveFormat(1, 16000, 16)
 
-        def run():
+        def run(step_times=None):
             utt = rec.create_utterance(fmt)
+            decoded = 0
             for off in range(0, len(pcm), 1024):
+                t0 = time.perf_counter()
                 utt.process(pcm[off:off + 1024])
+                dt = time.perf_counter() - t0
+                # Calls that advanced the decoder ran a fused device step
+                # (20 frames = 200 ms of audio): the latency that matters
+                # for a live stream.
+                now = utt.session.num_frames_decoded
+                if step_times is not None and now > decoded:
+                    step_times.append(dt)
+                decoded = now
             utt.end_of_stream()
             return utt.hyp
 
         run()  # warmup/compile
         runs = int(os.environ.get("BENCH_RUNS", 3))
         times = []
+        step_times = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            run()
+            run(step_times)
             times.append(time.perf_counter() - t0)
     value = seconds / min(times)
+    st = np.sort(np.asarray(step_times)) * 1e3
+    p50 = st[len(st) // 2]
+    p95 = st[int(len(st) * 0.95)]
     print(json.dumps({
         "metric": "streaming_audio_seconds_per_sec",
         "value": round(value, 3),
@@ -276,6 +309,66 @@ def main_streaming():
         "vs_baseline": round(value, 3),
     }))
     print(f"# streaming 1 utt x {seconds}s, beam={cfg.beam_size}, "
+          f"times={[round(t, 3) for t in times]}, per-20-frame-chunk "
+          f"latency p50={p50:.1f}ms p95={p95:.1f}ms (chunk=200ms audio)",
+          file=sys.stderr)
+    return 0
+
+
+def main_am():
+    """AM-forward-only throughput (BENCH_QUANT=1 for the int8 path).
+
+    Isolates the acoustic model so the float vs Pallas-int8 comparison
+    is not hidden behind decoder time; run once with BENCH_QUANT unset
+    and once with BENCH_QUANT=1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/catears_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+    from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    am, _, _, _, _, wave, _, _ = build_bench_setup(batch, seconds)
+    t_frames = num_frames(wave.shape[1])
+
+    @jax.jit
+    def am_forward(wave):
+        def one(w):
+            feats = fbank_from_wave(w, t_frames)
+            padded = jnp.concatenate([
+                jnp.repeat(feats[:1], am.left_context, axis=0),
+                feats,
+                jnp.repeat(feats[-1:], am.right_context, axis=0),
+            ])
+            return am.forward_padded(padded)
+
+        return jax.vmap(one)(wave)
+
+    out = np.asarray(am_forward(wave))  # compile + sanity
+    assert np.isfinite(out).all()
+    runs = int(os.environ.get("BENCH_RUNS", 5))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        np.asarray(am_forward(wave))
+        times.append(time.perf_counter() - t0)
+    value = batch * seconds / min(times)
+    quant = os.environ.get("BENCH_QUANT") == "1"
+    print(json.dumps({
+        "metric": "am_forward_audio_seconds_per_sec"
+                  + ("_int8" if quant else "_float"),
+        "value": round(value, 3),
+        "unit": "xRT",
+        "vs_baseline": round(value, 3),
+    }))
+    print(f"# am-only quant={int(quant)} batch={batch} x {seconds}s "
           f"times={[round(t, 3) for t in times]}", file=sys.stderr)
     return 0
 
@@ -312,7 +405,7 @@ def main_scaling():
     os.environ.setdefault("BENCH_BEAM", "512")
     os.environ.setdefault("BENCH_EXPAND", "1024")
     os.environ.setdefault("BENCH_EPS_EXPAND", "1024")
-    am, fst, dfst, cfg, wave, _, _ = build_bench_setup(batch, seconds)
+    am, fst, dfst, _, cfg, wave, _, _ = build_bench_setup(batch, seconds)
     t_frames = num_frames(wave.shape[1])
     runs = int(os.environ.get("BENCH_RUNS", 3))
 
@@ -358,4 +451,6 @@ if __name__ == "__main__":
         sys.exit(main_streaming())
     if os.environ.get("BENCH_MODE") == "scaling":
         sys.exit(main_scaling())
+    if os.environ.get("BENCH_MODE") == "am":
+        sys.exit(main_am())
     sys.exit(main())

@@ -72,6 +72,11 @@ class BeamState(NamedTuple):
     # (src/decoder.cc:337-377); here capacities are static shapes, so
     # truncation is detected on device and surfaced by the runtime.
     overflow: jnp.ndarray  # bool scalar
+    # Capacity high-water mark: the max ARCS any frame actually needed in
+    # (emitting overflow, epsilon) CSR expansion — read it after a decode
+    # with generous capacities to size expand_size/eps_expand_size tightly
+    # for a deployment (Decoder.capacity_high_water).
+    hiwater: jnp.ndarray  # i32 [2]
 
 
 class FrameTrace(NamedTuple):
@@ -170,8 +175,10 @@ def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
     cum_before = cum - span_rows
     # Spans whose rows land past n_slots are dropped by the ownership
     # scatter below — flag it so the runtime can report truncation instead
-    # of returning a plausible-but-wrong path.
-    overflow = cum[-1] > n_slots
+    # of returning a plausible-but-wrong path.  rows_needed feeds the
+    # capacity high-water mark.
+    rows_needed = cum[-1]
+    overflow = rows_needed > n_slots
     slots = jnp.arange(k, dtype=jnp.int32)
     owner = jnp.full((n_slots,), -1, jnp.int32).at[cum_before].max(
         jnp.where(span_rows > 0, slots, -1), mode="drop")
@@ -211,6 +218,7 @@ def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
                                      jnp.float32),  # weight
         ap[:, :, 3].reshape(capacity),  # pdf
         overflow,
+        (rows_needed * g).astype(jnp.int32),
     )
 
 
@@ -218,10 +226,14 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
             emitting: bool):
     """Map expansion slots -> (token, cost, lm, bp, arc next/olabel/weight/pdf).
 
-    Emitting arcs use a two-pass scheme:
-      Pass A (block): every token directly gathers its state's first-G-arc
-        block row — K row gathers, no ownership bookkeeping, guaranteed
-        coverage for the typical small-fanout HCLG state.
+    Emitting arcs use a three-pass scheme:
+      Pass S (self-loop): the extracted self-loop lanes ride the block row
+        gather — one candidate per token, next state == own state.
+        Self-loops are ~half of HCLG's emitting arcs, so pulling them out
+        of the block halves the fanout the other passes must cover.
+      Pass A (block): every token directly gathers its state's first G
+        remaining arcs — K row gathers, no ownership bookkeeping,
+        guaranteed coverage for the typical small-fanout HCLG state.
       Pass B (overflow): arcs beyond the first G flow through the CSR
         expansion with `capacity` candidate slots — only high-fanout states
         contribute.
@@ -237,39 +249,42 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         n_eps = jnp.where(valid_tok, sp[:, 1], 0)
         return _expand_csr(cfg, dfst, beam, capacity, sp[:, 0], n_eps)
 
-    # Pass A: per-token first-G block — ONE direct row gather carrying both
-    # the block arcs and the state_packed lanes, token fields broadcast
-    # straight from the beam arrays (no token-row indirection).
-    eb = dfst.emit_block[state_c]  # [K, G*4 + 4] row gather
-    sp = eb[:, g * 4:]
+    # Passes S+A: ONE direct row gather carrying the block arcs, the
+    # state_packed lanes and the extracted self-loop, token fields
+    # broadcast straight from the beam arrays (no token-row indirection).
+    eb = dfst.emit_block[state_c]  # [K, G*4 + 8] row gather
+    sp = eb[:, g * 4:g * 4 + 4]
+    sf = eb[:, g * 4 + 4:]
     n_emit = jnp.where(valid_tok, sp[:, 3], 0)
     blk = eb[:, :g * 4].reshape(k, g, 4)
     lanes = jnp.arange(g, dtype=jnp.int32)
     valid_a = lanes[None, :] < n_emit[:, None]
     slots = jnp.arange(k, dtype=jnp.int32)
     repk = lambda x: jnp.repeat(x, g, total_repeat_length=k * g)  # noqa: E731
-    pass_a = (
-        repk(slots),
-        valid_a.reshape(k * g),
-        repk(beam.costs),
-        repk(beam.lm),
-        repk(beam.bp),
-        blk[:, :, 0].reshape(k * g),
-        blk[:, :, 1].reshape(k * g),
-        jax.lax.bitcast_convert_type(blk[:, :, 2].reshape(k * g),
-                                     jnp.float32),
-        blk[:, :, 3].reshape(k * g),
+    pass_sa = (
+        jnp.concatenate([slots, repk(slots)]),
+        jnp.concatenate([valid_tok & (sf[:, 0] > 0),
+                         valid_a.reshape(k * g)]),
+        jnp.concatenate([beam.costs, repk(beam.costs)]),
+        jnp.concatenate([beam.lm, repk(beam.lm)]),
+        jnp.concatenate([beam.bp, repk(beam.bp)]),
+        jnp.concatenate([state_c, blk[:, :, 0].reshape(k * g)]),
+        jnp.concatenate([sf[:, 1], blk[:, :, 1].reshape(k * g)]),
+        jax.lax.bitcast_convert_type(
+            jnp.concatenate([sf[:, 2], blk[:, :, 2].reshape(k * g)]),
+            jnp.float32),
+        jnp.concatenate([sf[:, 3], blk[:, :, 3].reshape(k * g)]),
     )
     # Pass B: CSR overflow for states with fanout > G.  Statically skipped
     # when the whole graph's fanout fits the first-G block — the overflow
     # slots would be permanently empty and only pad the dedup sorts.
     if dfst.max_emit_fanout <= g:
-        return pass_a + (jnp.bool_(False),)
+        return pass_sa + (jnp.bool_(False), jnp.int32(0))
     pass_b = _expand_csr(cfg, dfst, beam, capacity, sp[:, 2],
                          jnp.maximum(n_emit - g, 0))
     merged = tuple(jnp.concatenate([a, b])
-                   for a, b in zip(pass_a, pass_b[:-1]))
-    return merged + (pass_b[-1],)
+                   for a, b in zip(pass_sa, pass_b[:9]))
+    return merged + pass_b[9:]
 
 
 def _acoustic_lookup(logp: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
@@ -303,7 +318,7 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     two-level one-hot select (see _acoustic_lookup).
     """
     (tok, valid_e, tok_cost, tok_lm, _tok_bp, next_state, olabel, weight,
-     pdf, overflow) = _expand(cfg, dfst, beam, cfg.expand_size, True)
+     pdf, overflow, needed) = _expand(cfg, dfst, beam, cfg.expand_size, True)
     ac_cost = -cfg.am_scale * _acoustic_lookup(logp, pdf)
     cost = tok_cost + weight + ac_cost
     if dlm is not None:
@@ -328,7 +343,8 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     arena = arena.at[:k, 1].set(jnp.where(keep, olab, 0))
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32),
-                         beam.overflow | overflow)
+                         beam.overflow | overflow,
+                         beam.hiwater.at[0].max(needed))
     return new_beam, arena, cutoff
 
 
@@ -350,8 +366,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     def body(carry):
         beam, arena, j, _ = carry
         (tok, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel, weight,
-         _pdf, overflow) = _expand(cfg, dfst, beam, cfg.eps_expand_size,
-                                   False)
+         _pdf, overflow, needed) = _expand(cfg, dfst, beam,
+                                           cfg.eps_expand_size, False)
         cost = tok_cost + weight
         if dlm is not None:
             lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
@@ -382,7 +398,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                            jnp.where(accepted, olab, 0)], axis=1)
         arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
         new_beam = BeamState(states, lms, costs, new_bp,
-                             beam.overflow | overflow)
+                             beam.overflow | overflow,
+                             beam.hiwater.at[1].max(needed))
         return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
@@ -454,7 +471,9 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     out_beam = BeamState(keep(new_beam.states, beam.states),
                          keep(new_beam.lm, beam.lm),
                          keep(new_beam.costs, beam.costs),
-                         slots, overflow)
+                         slots, overflow,
+                         jnp.where(frame_valid, new_beam.hiwater,
+                                   beam.hiwater))
     trace = FrameTrace(
         prev_slot=keep(prev_slot, slots),
         words=jnp.where(frame_valid, words, jnp.zeros_like(words)),
@@ -471,7 +490,8 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     lms = jnp.zeros((k,), jnp.int32).at[0].set(lm0)
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
-    beam = BeamState(states, lms, costs, bp, jnp.bool_(False))
+    beam = BeamState(states, lms, costs, bp, jnp.bool_(False),
+                     jnp.zeros((2,), jnp.int32))
     arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
     # Root entries terminate the backtrace: parent slot of a nonexistent
     # previous frame.
@@ -481,7 +501,8 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     # The init pseudo-frame has no predecessor: every chain roots here.
     trace = FrameTrace(jnp.full((k,), -1, jnp.int32), words)
     beam = BeamState(beam.states, beam.lm, beam.costs,
-                     jnp.arange(k, dtype=jnp.int32), beam.overflow)
+                     jnp.arange(k, dtype=jnp.int32), beam.overflow,
+                     beam.hiwater)
     return beam, trace
 
 

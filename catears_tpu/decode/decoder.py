@@ -136,6 +136,17 @@ class Decoder:
         """True if any frame's arc expansion truncated (result suspect)."""
         return bool(np.asarray(self.beam.overflow)[0])
 
+    @property
+    def capacity_high_water(self) -> tuple:
+        """(emit_overflow, eps) candidate slots the decode actually needed.
+
+        Run a representative decode with generous capacities, then size
+        BeamConfig.expand_size / eps_expand_size to these marks (plus
+        margin) for a tight deployment geometry.
+        """
+        hw = np.asarray(self.beam.hiwater)[0]
+        return int(hw[0]), int(hw[1])
+
     def check_capacity(self) -> None:
         if self.overflowed:
             raise BeamCapacityError(

@@ -26,12 +26,18 @@ INT32_SENTINEL = np.int32(2**30)
 
 
 def _per_state_arc_counts(fst: FlatFst):
-    """(n_eps, n_emit) int64 [S]: per-state epsilon / emitting arc counts."""
+    """(n_eps, n_emit) int64 [S]: per-state epsilon / emitting arc counts.
+
+    n_emit excludes each state's first emitting self-loop (extracted into
+    dedicated block lanes by DeviceFst.build — see self-loop extraction)."""
     n_all = np.diff(fst.offsets.astype(np.int64))
     state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
-    n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
+    is_eps = fst.arc_ilabel == 0
+    n_eps = np.bincount(state_of_arc[is_eps],
                         minlength=fst.num_states).astype(np.int64)
-    return n_eps, n_all - n_eps
+    has_self = np.zeros(fst.num_states, bool)
+    has_self[state_of_arc[~is_eps & (fst.arc_next == state_of_arc)]] = True
+    return n_eps, n_all - n_eps - has_self.astype(np.int64)
 
 
 def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
@@ -104,17 +110,24 @@ class DeviceFst:
     The TPU gather cost model is per-ROW (row width is nearly free), so arcs
     are fetched `group` (G) at a time:
 
-    * `emit_block [S, G*4 + 4]` — every state's FIRST G emitting arcs with
-      the state_packed lanes appended.  In the beam search each active
-      token does ONE direct row gather here (row width is nearly free, a
-      second [S, 4] gather is not): no slot-ownership bookkeeping, and
-      guaranteed coverage for the typical HCLG state (self-loop + a few
-      transitions).
+    * SELF-LOOP EXTRACTION: every state's first emitting self-loop (the arc
+      HCLG's add-self-loops puts on every HMM state — typically HALF of all
+      emitting arcs) is pulled out into 4 dedicated lanes of the block row.
+      A self-loop needs no next-state lane and no slot bookkeeping: the
+      candidate is (same state, cost + w + acoustic), one per token.  This
+      roughly halves the per-state fanout the block/overflow passes must
+      cover, letting `group` shrink and with it the number of candidates
+      the dedup sorts chew on.
+    * `emit_block [S, G*4 + 8]` — every state's FIRST G remaining emitting
+      arcs ++ the state_packed lanes ++ the extracted self-loop lanes
+      (has, olabel, weight_bits, pdf).  Each active token does ONE direct
+      row gather here.
     * `arc_packed [R, G*4]` — CSR rows holding (a) all epsilon arcs and
-      (b) emitting-arc OVERFLOW (arcs beyond the first G) for high-fanout
-      states, each state's span padded to a row boundary.
+      (b) emitting-arc OVERFLOW (non-self arcs beyond the first G) for
+      high-fanout states, each state's span padded to a row boundary.
     * `state_packed [S, 4]` i32: (eps_row_lo, n_eps, emit_over_lo, n_emit)
-      with *_lo in CSR row units and counts in raw arcs.
+      with *_lo in CSR row units and counts in raw arcs (n_emit excludes
+      the extracted self-loop).
 
     Each stored arc is 4 i32 lanes: (next, olabel, weight_bits(f32), pdf).
     Padding arcs are zeros — harmless because expansion masks candidates
@@ -125,10 +138,10 @@ class DeviceFst:
     final: jnp.ndarray  # f32 [S]
     state_packed: jnp.ndarray  # i32 [S, 4]
     arc_packed: jnp.ndarray  # i32 [R, group*4]
-    emit_block: jnp.ndarray  # i32 [S, group*4 + 4] (block arcs ++ state row)
+    emit_block: jnp.ndarray  # i32 [S, group*4 + 8] (arcs ++ state ++ self)
     eps_depth: Optional[int]  # static: longest eps chain, None if unbounded
     group: int  # arcs per gather row
-    max_emit_fanout: int  # static: max emitting arcs of any state
+    max_emit_fanout: int  # static: max non-self emitting arcs of any state
 
     @classmethod
     def build(cls, fst: FlatFst, tid2pdf: np.ndarray, group: int = 4,
@@ -165,6 +178,21 @@ class DeviceFst:
             fst.arc_weight.view(np.int32), arc_pdf
         ], axis=1).astype(np.int32)
 
+        # Extract each state's FIRST emitting self-loop into dedicated
+        # lanes; any further self-loops stay ordinary arcs.
+        is_self = ~is_eps & (fst.arc_next == state_of_arc)
+        self_states, first_pos = np.unique(state_of_arc[is_self],
+                                           return_index=True)
+        self_idx = np.flatnonzero(is_self)[first_pos]
+        extracted = np.zeros(fst.num_arcs, bool)
+        extracted[self_idx] = True
+        self_arc = np.zeros((s, 4), np.int32)
+        self_arc[self_states, 0] = 1  # has
+        self_arc[self_states, 1:] = packed[self_idx, 1:]
+        keep = ~is_eps & ~extracted  # remaining emitting arcs
+        n_emit = np.bincount(state_of_arc[keep],
+                             minlength=s).astype(np.int64)
+
         # CSR layout: per state [eps rows | emit-overflow rows], spans
         # padded to row boundaries.
         n_over = np.maximum(n_emit - group, 0)
@@ -176,14 +204,18 @@ class DeviceFst:
         n_rows = max(int(row_off[-1]), 1)
 
         rank = np.arange(fst.num_arcs) - np.repeat(offsets[:-1], n_all)
-        emit_rank = rank - n_eps[state_of_arc]  # rank among emitting arcs
-        in_block = ~is_eps & (emit_rank < group)
-        dest = np.where(
-            is_eps,
-            eps_row_lo[state_of_arc] * group + rank,
-            emit_over_lo[state_of_arc] * group + emit_rank - group)
+        # rank among REMAINING emitting arcs of the state (gaps left by the
+        # extracted self-loop close up)
+        cum = np.cumsum(keep)  # inclusive kept-count
+        before = np.concatenate([[0], cum])[offsets[:-1]]  # kept < span
+        emit_rank = cum - 1 - before[state_of_arc]
+        in_block = keep & (emit_rank < group)
+        in_over = keep & (emit_rank >= group)
+        dest_eps = eps_row_lo[state_of_arc] * group + rank
+        dest_over = emit_over_lo[state_of_arc] * group + emit_rank - group
         flat = np.zeros((n_rows * group, 4), np.int32)
-        flat[dest[~in_block]] = packed[~in_block]
+        flat[dest_eps[is_eps]] = packed[is_eps]
+        flat[dest_over[in_over]] = packed[in_over]
         block = np.zeros((s * group, 4), np.int32)
         block[state_of_arc[in_block] * group
               + emit_rank[in_block]] = packed[in_block]
@@ -197,7 +229,8 @@ class DeviceFst:
             state_packed=jnp.asarray(state_packed),
             arc_packed=jnp.asarray(flat.reshape(n_rows, group * 4)),
             emit_block=jnp.asarray(np.concatenate(
-                [block.reshape(s, group * 4), state_packed], axis=1)),
+                [block.reshape(s, group * 4), state_packed, self_arc],
+                axis=1)),
             eps_depth=cls._capped_depth(_eps_depth(fst), eps_depth_cap),
             group=group,
             max_emit_fanout=int(n_emit.max(initial=0)),
@@ -222,11 +255,21 @@ class DeviceFst:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["offsets", "arc_ilabel", "arc_next", "arc_weight",
-                 "arc_ilabel0", "small_lm", "start"],
+                 "arc_ilabel0", "small_lm", "start", "uni_next",
+                 "uni_weight"],
     meta_fields=["max_backoff", "span_bits"])
 @dataclasses.dataclass(frozen=True)
 class DeviceLm:
-    """Backoff LM G' + unigram subtraction vector for delta-LM rescoring."""
+    """Backoff LM G' + unigram subtraction vector for delta-LM rescoring.
+
+    State 0 (the ARPA unigram/backoff terminal, where most backoff walks
+    land and which holds a vocab-sized arc span) gets a DENSE per-ilabel
+    table (uni_next/uni_weight): one row gather instead of a
+    log2(vocab)-step binary search.  This is the TPU analogue of the
+    reference's bucket_0_ dense fast path (src/fst.cc:175-197); it also
+    lets span_bits — the static binary-search depth every lm_propagate
+    round pays for ALL lanes — shrink to the largest NON-unigram span.
+    """
 
     offsets: jnp.ndarray  # i32 [S+1]
     arc_ilabel: jnp.ndarray  # i32 [A] (ilabel-sorted within each span)
@@ -235,6 +278,8 @@ class DeviceLm:
     arc_ilabel0: jnp.ndarray  # bool [S] state has a backoff (eps-first) arc
     small_lm: jnp.ndarray  # f32 [V] unigram costs to subtract
     start: jnp.ndarray  # i32 scalar: DeltaLmFst start (post-<s>)
+    uni_next: jnp.ndarray  # i32 [V] state-0 dense next (-1 = no arc)
+    uni_weight: jnp.ndarray  # f32 [V] state-0 dense weight
     max_backoff: int
     span_bits: int  # static binary-search depth: ceil(log2(max span + 1))
 
@@ -245,7 +290,19 @@ class DeviceLm:
         starts = lm.offsets[:-1]
         nonempty = lm.offsets[:-1] < lm.offsets[1:]
         has_backoff[nonempty] = lm.arc_ilabel[starts[nonempty]] == 0
-        max_span = int(np.diff(lm.offsets).max(initial=1))
+        # Dense state-0 table indexed by ilabel (reference bucket_0_).
+        n_sym = max(int(lm.arc_ilabel.max(initial=0)) + 1,
+                    int(np.asarray(delta.small_lm).size), 1)
+        uni_next = np.full(n_sym, -1, np.int32)
+        uni_weight = np.zeros(n_sym, np.float32)
+        lo0, hi0 = int(lm.offsets[0]), int(lm.offsets[1])
+        lab0 = lm.arc_ilabel[lo0:hi0]
+        uni_next[lab0] = lm.arc_next[lo0:hi0]
+        uni_weight[lab0] = lm.arc_weight[lo0:hi0]
+        # Binary searches never run on state 0: its span drops out of the
+        # static depth.
+        spans = np.diff(lm.offsets)
+        max_span = int(spans[1:].max(initial=1)) if spans.size > 1 else 1
         return cls(
             offsets=jnp.asarray(lm.offsets, jnp.int32),
             arc_ilabel=jnp.asarray(lm.arc_ilabel),
@@ -254,8 +311,10 @@ class DeviceLm:
             arc_ilabel0=jnp.asarray(has_backoff),
             small_lm=jnp.asarray(np.asarray(delta.small_lm, np.float32)),
             start=jnp.int32(delta.start_state()),
+            uni_next=jnp.asarray(uni_next),
+            uni_weight=jnp.asarray(uni_weight),
             max_backoff=max_backoff,
-            span_bits=max(1, int(max_span).bit_length()),
+            span_bits=max(1, max_span.bit_length()),
         )
 
 
@@ -271,10 +330,19 @@ def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,
         return states, jnp.zeros_like(states, jnp.float32)
 
     def try_find(s, l):
-        """Vectorized per-span binary search (lower_bound on ilabel)."""
+        """Per-lane arc lookup: dense table at state 0, else binary search.
+
+        State 0 holds the vocab-sized unigram span; the dense table
+        resolves it with ONE gather (reference bucket_0_ fast path,
+        src/fst.cc:175-197) and keeps span_bits — the search depth every
+        lane pays — at the largest NON-unigram span.
+        """
+        at0 = s == 0
+        l_c = jnp.clip(l, 0, dlm.uni_next.shape[0] - 1)
+        uni_nxt = dlm.uni_next[l_c]
         s_c = jnp.clip(s, 0, dlm.offsets.shape[0] - 2)
-        lo = dlm.offsets[s_c]
-        hi = dlm.offsets[s_c + 1]
+        lo = jnp.where(at0, 0, dlm.offsets[s_c])
+        hi = jnp.where(at0, 0, dlm.offsets[s_c + 1])  # empty span: no search
         for _ in range(dlm.span_bits):
             active = lo < hi
             mid = (lo + hi) >> 1
@@ -284,7 +352,10 @@ def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,
             hi = jnp.where(active & ~go_right, mid, hi)
         pos_c = jnp.minimum(lo, dlm.arc_ilabel.shape[0] - 1)
         hit = (lo < dlm.offsets[s_c + 1]) & (dlm.arc_ilabel[pos_c] == l)
-        return hit, pos_c
+        hit = jnp.where(at0, uni_nxt >= 0, hit)
+        nxt = jnp.where(at0, uni_nxt, dlm.arc_next[pos_c])
+        w = jnp.where(at0, dlm.uni_weight[l_c], dlm.arc_weight[pos_c])
+        return hit, nxt, w
 
     active0 = labels > 0
     cur = jnp.where(active0, states, 0)
@@ -296,10 +367,10 @@ def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,
 
     def body(c):
         cur, weight, active, done, failed, it = c
-        hit, pos = try_find(cur, labels)
+        hit, nxt, w = try_find(cur, labels)
         found_now = active & hit
-        cur = jnp.where(found_now, dlm.arc_next[pos], cur)
-        weight = jnp.where(found_now, weight + dlm.arc_weight[pos], weight)
+        cur = jnp.where(found_now, nxt, cur)
+        weight = jnp.where(found_now, weight + w, weight)
         done = done | found_now
         # Misses follow the state's backoff (epsilon-first) arc if present
         miss = active & ~hit

@@ -200,6 +200,129 @@ def make_trie_graph(rng: np.random.RandomState, num_words: int = 50_000,
                      word_pdf_flat=flat, unigram_cost=unigram_cost)
 
 
+@dataclass
+class BigLm:
+    """ARPA-scale backoff G' for delta-LM rescoring stress tests."""
+
+    lm: "LmFst"  # noqa: F821 - imported lazily below
+    small_lm: np.ndarray  # f32 [eos + 1] unigram subtraction vector
+    bos_id: int
+    eos_id: int
+    num_states: int
+    num_arcs: int
+
+    def delta_lm(self):
+        """DeltaLmFst over this G' (what the decoder consumes)."""
+        from catears_tpu.graph.fst import DeltaLmFst
+        from catears_tpu.io.symbols import SymbolTable
+
+        st = SymbolTable()
+        st.bos_id, st.eos_id = self.bos_id, self.eos_id
+        return DeltaLmFst(self.small_lm, self.lm, st)
+
+
+def make_big_lm(rng: np.random.RandomState, num_words: int,
+                num_trigrams: int = 0, max_bigram_deg: int = 400
+                ) -> BigLm:
+    """Synthetic ARPA-shaped backoff LM FST at real G' scale.
+
+    Shape matches what tools/lm.py arpa_to_fst produces from a pruned
+    ARPA (reference tool/prune_lm.py + format_lm):
+
+      state 0            unigram/backoff terminal: one arc PER WORD
+                         (vocab-sized span -> exercises the dense
+                         bucket_0_-style fast path), plus <s>/</s> arcs
+      states 1..V        bigram history per word: eps backoff -> 0 first
+                         in span + heavy-tailed bigram arcs
+      state V+1          post-<s> history (the DeltaLmFst start)
+      state V+2          final </s> state
+      states V+3..       optional trigram states: backoff -> the bigram
+                         history (a 2-hop backoff chain, the deepest a
+                         3-gram model produces)
+
+    num_trigrams defaults to num_words so states ~ 2 * vocab (>= 100k at
+    a 50k vocab).
+    """
+    from catears_tpu.graph.fst import LmFst
+
+    v = num_words
+    bos, eos = v + 1, v + 2
+    n_tri = num_trigrams if num_trigrams else v
+    hist = 1 + np.arange(v, dtype=np.int64)  # hist(w) = w
+    bos_hist, final_state, tri_base = v + 1, v + 2, v + 3
+    num_states = tri_base + n_tri
+
+    # Zipf unigram costs (low word ids = frequent).
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+    uni = (-np.log(probs)).astype(np.float32)
+    eos_cost = float(rng.rand() + 1.0)
+
+    # state 0: one arc per word into its history state + <s> + </s>
+    uni_arcs = (np.zeros(v + 2, np.int64),
+                np.concatenate([hist, [bos_hist, final_state]]),
+                np.concatenate([hist, [bos, eos]]),
+                np.concatenate([uni, [0.0, eos_cost]]).astype(np.float32))
+
+    # bigram histories: backoff first + heavy-tailed bigram arcs
+    bo_w = rng.uniform(0.3, 2.5, size=v + 1).astype(np.float32)
+    bo_src = np.concatenate([hist, [bos_hist]])
+    bo_arcs = (bo_src, np.zeros(v + 1, np.int64),
+               np.zeros(v + 1, np.int64), bo_w)
+    deg = np.minimum(1 + (rng.pareto(1.2, v + 1) * 6).astype(np.int64),
+                     max_bigram_deg)
+    bg_src = np.repeat(bo_src, deg)
+    n_bg = int(deg.sum())
+    bg_lab = 1 + np.minimum((rng.pareto(1.0, n_bg) * 40).astype(np.int64),
+                            v - 1)
+    key = bg_src * np.int64(v + 3) + bg_lab
+    _, uniq = np.unique(key, return_index=True)
+    bg_src, bg_lab = bg_src[uniq], bg_lab[uniq]
+    bg_w = rng.uniform(0.1, 3.0, size=bg_src.size).astype(np.float32)
+    bg_dst = bg_lab.copy()  # -> hist(label)
+    # promote n_tri bigram arcs' destinations to trigram states
+    n_tri = min(n_tri, bg_src.size)
+    promoted = rng.choice(bg_src.size, size=n_tri, replace=False)
+    tri_states = tri_base + np.arange(n_tri, dtype=np.int64)
+    bg_dst[promoted] = tri_states
+    bg_arcs = (bg_src, bg_dst, bg_lab, bg_w)
+
+    # trigram states: backoff -> the promoted arc's bigram history + a few
+    # trigram arcs back into histories
+    tri_bo = (tri_states, bg_lab[promoted].copy(),
+              np.zeros(n_tri, np.int64),
+              rng.uniform(0.2, 1.5, size=n_tri).astype(np.float32))
+    tdeg = 1 + (rng.pareto(1.5, n_tri) * 3).astype(np.int64)
+    t_src = np.repeat(tri_states, tdeg)
+    n_tg = int(tdeg.sum())
+    t_lab = 1 + np.minimum((rng.pareto(1.0, n_tg) * 40).astype(np.int64),
+                           v - 1)
+    tkey = t_src * np.int64(v + 3) + t_lab
+    _, uniq = np.unique(tkey, return_index=True)
+    t_src, t_lab = t_src[uniq], t_lab[uniq]
+    tri_arcs = (t_src, t_lab.copy(), t_lab,
+                rng.uniform(0.05, 2.0, size=t_src.size).astype(np.float32))
+
+    parts = [uni_arcs, bo_arcs, bg_arcs, tri_bo, tri_arcs]
+    state_of_arc = np.concatenate([p[0] for p in parts])
+    arc_next = np.concatenate([p[1] for p in parts])
+    arc_ilabel = np.concatenate([p[2] for p in parts])
+    arc_weight = np.concatenate([p[3] for p in parts]).astype(np.float32)
+
+    final = np.full(num_states, np.inf, np.float32)
+    final[final_state] = 0.0
+    base = FlatFst.from_arrays(0, final, state_of_arc, arc_next,
+                               arc_ilabel, arc_ilabel.copy(), arc_weight)
+    small_lm = np.full(eos + 1, np.inf, np.float32)
+    small_lm[1:v + 1] = uni
+    small_lm[0] = 0.0
+    small_lm[bos] = 0.0
+    small_lm[eos] = eos_cost
+    return BigLm(lm=LmFst(**base.__dict__), small_lm=small_lm,
+                 bos_id=bos, eos_id=eos, num_states=num_states,
+                 num_arcs=base.num_arcs)
+
+
 def plant_targets(rng: np.random.RandomState, graph: TrieGraph,
                   frames: int, dur: Tuple[int, int] = (2, 4)
                   ) -> Tuple[np.ndarray, List[int]]:

@@ -91,7 +91,7 @@ def expand_only(b, lp):
         cost = out[2] + out[7] + ac
         s = cost.sum() + out[5].sum()
         return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * s, bb.bp,
-                           bb.overflow)
+                           bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -101,7 +101,7 @@ def emit_close(b, lp):
         nb, arena = B._eps_closure(cfg, dfst, None, nb, arena, cutoff)
         return B.BeamState(nb.states, nb.lm,
                            nb.costs + 0.0 * arena.sum(), nb.bp,
-                           nb.overflow)
+                           nb.overflow, nb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -111,7 +111,7 @@ def acoustic_only(b, lp):
         idx = jnp.arange(e, dtype=jnp.int32) % am.num_pdfs
         v = B._acoustic_lookup(l, idx)
         return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * v.sum(),
-                           bb.bp, bb.overflow)
+                           bb.bp, bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 
@@ -123,7 +123,7 @@ def select_only(b, lp):
         costs = l[idx % am.num_pdfs]
         s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, idx, idx)
         return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()),
-                           bb.bp, bb.overflow)
+                           bb.bp, bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
 

@@ -305,6 +305,46 @@ class TestOverflowSafety:
         assert not dec.overflowed
         dec.best_path()  # must not raise
 
+    def test_capacity_high_water(self):
+        """hiwater reports the slots a decode needed; sizing to it works.
+
+        Decode once with generous capacities, read the high-water marks,
+        then re-decode with capacities == hiwater (no overflow) and with
+        eps capacity below it (overflow flagged).
+        """
+        from catears_tpu.utils.errors import BeamCapacityError
+        graph, logp = self._graph()
+        fst = FlatFst.from_raw(graph.fst)
+        big = BeamConfig(beam_size=64, expand_size=4096,
+                         eps_expand_size=4096, max_eps_iters=6, beam=1e9)
+        dec = Decoder(fst, graph.tid2pdf, config=big, arc_group=1)
+        dec.process(logp)
+        dec.end_of_stream()
+        assert not dec.overflowed
+        hyp = dec.best_path()
+        hw_emit, hw_eps = dec.capacity_high_water
+        assert 0 < hw_emit <= big.expand_size
+        assert 0 < hw_eps <= big.eps_expand_size
+
+        tight = BeamConfig(beam_size=64, expand_size=max(hw_emit, 1),
+                           eps_expand_size=max(hw_eps, 1),
+                           max_eps_iters=6, beam=1e9)
+        dec2 = Decoder(fst, graph.tid2pdf, config=tight, arc_group=1)
+        dec2.process(logp)
+        dec2.end_of_stream()
+        assert not dec2.overflowed
+        assert dec2.best_path().words == hyp.words
+
+        small = BeamConfig(beam_size=64, expand_size=max(hw_emit, 1),
+                           eps_expand_size=max(hw_eps // 2, 1),
+                           max_eps_iters=6, beam=1e9)
+        dec3 = Decoder(fst, graph.tid2pdf, config=small, arc_group=1)
+        dec3.process(logp)
+        dec3.end_of_stream()
+        assert dec3.overflowed
+        with pytest.raises(BeamCapacityError):
+            dec3.best_path()
+
     def test_expansion_bounds_exact(self):
         """Bounds equal the hand-computed worst case on a known graph."""
         from catears_tpu.graph.device import expansion_bounds
@@ -312,9 +352,14 @@ class TestOverflowSafety:
         fst = FlatFst.from_raw(graph.fst)
         n_all = np.diff(fst.offsets)
         state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
-        n_eps = np.bincount(state_of_arc[fst.arc_ilabel == 0],
+        is_eps = fst.arc_ilabel == 0
+        n_eps = np.bincount(state_of_arc[is_eps],
                             minlength=fst.num_states)
-        n_emit = n_all - n_eps
+        # each state's first emitting self-loop rides the block row
+        has_self = np.zeros(fst.num_states, bool)
+        has_self[state_of_arc[~is_eps
+                              & (fst.arc_next == state_of_arc)]] = True
+        n_emit = n_all - n_eps - has_self
         for g in (1, 4):
             for k in (2, 64):
                 eb, epsb = expansion_bounds(fst, g, k)
@@ -375,3 +420,23 @@ class TestTrieGraph:
         # the decode recovers the planted words (modulo a trailing
         # partial word cut by the frame limit)
         assert d.words[:len(words[0])] == words[0]
+
+    def test_planted_decode_with_big_delta_lm(self):
+        """Trie HCLG + ARPA-shaped G' rescoring: device == oracle.
+
+        End-to-end check of the delta-LM decode path at (scaled-down)
+        bench geometry: the trie emits word olabels, lm_propagate walks
+        bigram/trigram histories with the dense state-0 fast path, and
+        the beam dedups on (state, lm) pairs.
+        """
+        from catears_tpu.tools.biggraph import make_big_lm, plant_logp
+        rng, g = self._make()
+        big = make_big_lm(np.random.RandomState(9), num_words=g.num_words)
+        logp, words = plant_logp(rng, g, 1, 80)
+        cfg = BeamConfig(beam_size=128, expand_size=2048,
+                         eps_expand_size=1024, max_eps_iters=4,
+                         beam=1e9, am_scale=0.1)
+        o, d = run_both(g.fst, g.tid2pdf, logp[0], cfg,
+                        delta_lm=big.delta_lm())
+        assert d.words == o.words
+        assert abs(d.weight - o.weight) < 1e-2

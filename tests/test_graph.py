@@ -179,3 +179,73 @@ class TestCloseEpsilons:
             arc_weight=np.array([0.5], np.float32))
         out, ok = close_epsilons(fst)
         assert ok and out is fst
+
+
+class TestBigLmDevice:
+    """ARPA-scale G' stress: device lm_propagate vs the host backoff walk.
+
+    VERDICT #6: the toy G.pfst has hundreds of states; this exercises the
+    dense state-0 fast path and 2-hop trigram backoff chains at a ~100k
+    state / 2k vocab shape (scaled down from the 50k-vocab bench geometry,
+    same structure).
+    """
+
+    @pytest.fixture(scope="class")
+    def big(self):
+        from catears_tpu.tools.biggraph import make_big_lm
+        return make_big_lm(np.random.RandomState(7), num_words=2000)
+
+    def test_shape(self, big):
+        assert big.num_states >= 2 * 2000
+        # state 0 is vocab-sized (the dense-table case)
+        assert int(big.lm.offsets[1] - big.lm.offsets[0]) == 2002
+
+    def test_propagate_parity(self, big):
+        import jax.numpy as jnp
+        from catears_tpu.graph.device import DeviceLm, lm_propagate
+
+        delta = big.delta_lm()
+        dlm = DeviceLm.build(delta)
+        rng = np.random.RandomState(3)
+        n = 512
+        # Mix of state kinds: unigram 0, bigram histories, trigram states,
+        # post-BOS; labels biased to frequent words + some misses.
+        states = np.concatenate([
+            np.zeros(64, np.int64),
+            rng.randint(1, 2001, size=256),
+            rng.randint(2003, big.num_states, size=128),
+            np.full(64, 2001),
+        ])[:n].astype(np.int32)
+        labels = np.where(rng.rand(n) < 0.7,
+                          1 + (rng.pareto(1.0, n) * 40).astype(np.int64),
+                          rng.randint(0, 2003, size=n)).astype(np.int32)
+        labels = np.minimum(labels, 2002)
+        out_s, out_w = lm_propagate(dlm, jnp.asarray(states),
+                                    jnp.asarray(labels))
+        out_s, out_w = np.asarray(out_s), np.asarray(out_w)
+        for i in range(n):
+            s, l = int(states[i]), int(labels[i])
+            if l == 0:
+                exp_s, exp_w = s, 0.0
+            else:
+                hit = delta.get_arc(s, l)
+                exp_s, exp_w = (s, 0.0) if hit is None else hit
+            assert out_s[i] == exp_s, (i, s, l)
+            np.testing.assert_allclose(out_w[i], exp_w, atol=1e-5,
+                                       err_msg=str((i, s, l)))
+
+    def test_dense_table_matches_span(self, big):
+        from catears_tpu.graph.device import DeviceLm
+
+        dlm = DeviceLm.build(big.delta_lm())
+        lo, hi = int(big.lm.offsets[0]), int(big.lm.offsets[1])
+        uni_next = np.asarray(dlm.uni_next)
+        uni_w = np.asarray(dlm.uni_weight)
+        for pos in range(lo, hi):
+            lab = int(big.lm.arc_ilabel[pos])
+            assert uni_next[lab] == int(big.lm.arc_next[pos])
+            np.testing.assert_allclose(uni_w[lab],
+                                       float(big.lm.arc_weight[pos]))
+        # span_bits excludes the vocab-sized state-0 span
+        other_max = int(np.diff(big.lm.offsets)[1:].max())
+        assert dlm.span_bits == max(1, other_max.bit_length())
