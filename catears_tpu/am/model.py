@@ -69,6 +69,20 @@ class AcousticModel:
         self.chunk_size = chunk_size
         self.num_pdfs = num_pdfs
 
+    def calibrate(self, padded_feats: np.ndarray) -> None:
+        """Calibrate int8 activation ranges on representative features.
+
+        padded_feats: [L + T + R, 40] context-padded fbank rows.  After
+        calibration every linear quantizes with a static range (no per-call
+        min/max reductions, see am.quant.calibrate_ranges).  No-op on the
+        float path.
+        """
+        if not self.quantized:
+            return
+        from catears_tpu.am.quant import calibrate_ranges
+        calibrate_ranges(self.nnet_def, self.float_params, self.params,
+                         jnp.asarray(padded_feats, jnp.float32))
+
     @classmethod
     def read(cls, conf: Configuration) -> "AcousticModel":
         spec = read_nnet_file(conf.get_path("nnet"))

@@ -51,6 +51,24 @@ def quantize(x: jnp.ndarray) -> QuantizedTensor:
                            scale.astype(jnp.float32), zero_point)
 
 
+def quantize_static(x: jnp.ndarray, mn: float, mx: float) -> QuantizedTensor:
+    """Affine quantization with a CALIBRATED range (deployment fast path).
+
+    Same semantics as `quantize` but (mn, mx) are compile-time constants
+    from offline calibration, so the min/max reductions vanish and the
+    scale/zero-point fold into one fused mul+round+clip elementwise pass.
+    Out-of-range activations saturate (standard post-training-quantization
+    behavior; the 1%-of-range accuracy criterion is re-checked in tests).
+    """
+    mn = jnp.asarray(mn, jnp.float32)
+    mx = jnp.asarray(mx, jnp.float32)
+    flat_scale = jnp.where(mn == 0, 1.0, jnp.abs(mn) / 128.0)
+    scale = jnp.where(mx - mn <= 0, flat_scale, (mx - mn) / 255.0)
+    zero_point = jnp.round(-mn / scale).astype(jnp.int32)
+    q = jnp.clip(jnp.round(x / scale) + zero_point, 0, 255)
+    return QuantizedTensor((q - 128).astype(jnp.int8), scale, zero_point)
+
+
 def _pad_to(x: jnp.ndarray, mult: Tuple[int, int]) -> jnp.ndarray:
     pads = [(0, (-x.shape[i]) % mult[i]) for i in range(2)]
     if any(p[1] for p in pads):
@@ -102,8 +120,13 @@ def _use_interpret() -> bool:
 
 
 def qmatmul(aq: QuantizedTensor, bq: QuantizedTensor,
-            interpret: bool = None) -> jnp.ndarray:
-    """Quantized matmul with f32 dequant epilogue (MatMat_U8U8F32 parity)."""
+            interpret: bool = None,
+            colsum_b: jnp.ndarray = None) -> jnp.ndarray:
+    """Quantized matmul with f32 dequant epilogue (MatMat_U8U8F32 parity).
+
+    colsum_b: optional precomputed f32 column sums of bq.values (weights
+    are static, so quantize_params computes them once).
+    """
     if interpret is None:
         interpret = _use_interpret()
     a, b = aq.values, bq.values
@@ -112,7 +135,8 @@ def qmatmul(aq: QuantizedTensor, bq: QuantizedTensor,
     ca = (128 - aq.zero_point).astype(jnp.float32)
     cb = (128 - bq.zero_point).astype(jnp.float32)
     rowsum_a = jnp.sum(a.astype(jnp.int32), axis=1).astype(jnp.float32)
-    colsum_b = jnp.sum(b.astype(jnp.int32), axis=0).astype(jnp.float32)
+    if colsum_b is None:
+        colsum_b = jnp.sum(b.astype(jnp.int32), axis=0).astype(jnp.float32)
     acc = (dot + cb * rowsum_a[:, None] + ca * colsum_b[None, :]
            + k * ca * cb)
     return aq.scale * bq.scale * acc
@@ -123,20 +147,52 @@ def quantize_params(nnet_def: NnetDef, params: NnetParams) -> List[dict]:
     out = []
     for layer, p in zip(nnet_def, params):
         if layer[0] == "linear":
-            out.append({"wq": quantize(p["w"]), "b": p["b"]})
+            wq = quantize(p["w"])
+            colsum = jnp.sum(wq.values.astype(jnp.int32),
+                             axis=0).astype(jnp.float32)
+            out.append({"wq": wq, "b": p["b"], "colsum": colsum})
         else:
             out.append(p)
     return out
 
 
+def calibrate_ranges(nnet_def: NnetDef, params: NnetParams,
+                     qparams: List[dict], x: jnp.ndarray,
+                     margin: float = 0.05) -> None:
+    """Record each linear's input (min, max) from a float forward pass.
+
+    Runs the FLOAT stack on representative features and attaches the
+    observed activation range (+margin headroom for unseen data) to each
+    linear's qparams entry; nnet_forward_quant then uses the reduction-free
+    quantize_static path.  The reference has no calibration (its gemmlowp
+    path re-derives ranges per GEMM, src/matrix.cc:348-420) — this is the
+    deployment-standard refinement of the same affine semantics.
+    """
+    from catears_tpu.am.nnet import nnet_forward
+
+    for i, (layer, p) in enumerate(zip(nnet_def, params)):
+        if layer[0] == "linear":
+            mn = float(jnp.min(x))
+            mx = float(jnp.max(x))
+            pad = margin * max(mx - mn, 1e-6)
+            qparams[i]["rng"] = (mn - pad, mx + pad)
+        x = nnet_forward(nnet_def[i:i + 1], [p], x)
+
+
 def nnet_forward_quant(nnet_def: NnetDef, qparams: List[dict],
                        x: jnp.ndarray) -> jnp.ndarray:
-    """Layer stack with int8 linears (activations quantized per call)."""
+    """Layer stack with int8 linears.
+
+    Activations quantize with the calibrated static range when present
+    ("rng" in the layer's qparams, see calibrate_ranges), else with a
+    dynamic per-call min/max (exact reference Quantize semantics).
+    """
     for layer, p in zip(nnet_def, qparams):
         kind = layer[0]
         if kind == "linear":
-            xq = quantize(x)
-            x = qmatmul(xq, p["wq"]) + p["b"]
+            xq = (quantize_static(x, *p["rng"]) if "rng" in p
+                  else quantize(x))
+            x = qmatmul(xq, p["wq"], colsum_b=p.get("colsum")) + p["b"]
         elif kind == "relu":
             x = jnp.maximum(x, 0.0)
         elif kind == "normalize":

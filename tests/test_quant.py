@@ -92,3 +92,50 @@ class TestQuantizedAM:
         ref = am_f.forward(feats)
         assert np.abs(np.exp(out + np.log(1 / 24))
                       - np.exp(ref + np.log(1 / 24))).max() < 0.05
+
+
+class TestCalibratedQuant:
+    def test_static_matches_dynamic_semantics(self):
+        """quantize_static(x, min(x), max(x)) == quantize(x) exactly."""
+        from catears_tpu.am.quant import quantize_static
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(40, 24).astype(np.float32) * 3)
+        dyn = quantize(x)
+        st = quantize_static(x, float(x.min()), float(x.max()))
+        np.testing.assert_array_equal(np.asarray(dyn.values),
+                                      np.asarray(st.values))
+        np.testing.assert_allclose(float(dyn.scale), float(st.scale))
+        assert int(dyn.zero_point) == int(st.zero_point)
+
+    def test_calibrated_nnet_accuracy(self):
+        """Calibrated int8 stack stays within the 1%-of-range criterion
+        on held-out data (out-of-range activations saturate)."""
+        from catears_tpu.am.quant import calibrate_ranges
+        rng = np.random.RandomState(5)
+        spec = make_toy_nnet(rng, hidden=64, num_pdfs=32)
+        nnet_def, params = build_nnet(spec)
+        qparams = quantize_params(nnet_def, params)
+        calib = jnp.asarray(rng.randn(50, 40).astype(np.float32))
+        calibrate_ranges(nnet_def, params, qparams, calib)
+        assert any("rng" in p for p in qparams if isinstance(p, dict))
+        x = jnp.asarray(rng.randn(20, 40).astype(np.float32))  # held-out
+        ref = np.asarray(nnet_forward(nnet_def, params, x))
+        got = np.asarray(nnet_forward_quant(nnet_def, qparams, x))
+        assert np.abs(np.exp(got) - np.exp(ref)).max() < 0.05
+
+    def test_calibrate_via_model(self):
+        from catears_tpu.am.model import AcousticModel
+        rng = np.random.RandomState(6)
+        spec = make_toy_nnet(rng, hidden=32, num_pdfs=24)
+        nnet_def, params = build_nnet(spec)
+        prior = np.full(24, 1 / 24, np.float32)
+        am = AcousticModel(nnet_def, params, np.log(prior),
+                           np.arange(49, dtype=np.int32) // 2,
+                           left_context=16, right_context=9, chunk_size=20,
+                           num_pdfs=24, quantized=True)
+        feats = rng.randn(40, 40).astype(np.float32)
+        out_dyn = am.forward(feats)
+        am.calibrate(am.pad_context(feats))
+        out_cal = am.forward(feats)
+        assert np.abs(np.exp(out_cal + np.log(1 / 24))
+                      - np.exp(out_dyn + np.log(1 / 24))).max() < 0.05
