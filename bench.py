@@ -65,10 +65,13 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         fst, tid2pdf, num_pdfs = tg.fst, tg.tid2pdf, tg.num_pdfs
         planted, true_words = plant_logp(rng, tg, batch,
                                          num_frames(samples))
-        # Sized from the measured capacity high-water mark at 50k words
-        # (28384, 512) + headroom; the warmup asserts no overflow and
+        # Geometry from the round-3 on-chip sweep (scripts/frameprof.py):
+        # block G=2 covers 99% of trie states' fanout with half the block
+        # candidates of G=4; csr_group=8 fetches the high-fanout tail in
+        # half the gather rows.  expand sized from the measured capacity
+        # high-water mark + headroom; the warmup asserts no overflow and
         # reports the marks, so resizing after a graph change is mechanical.
-        group, beam, expand, eps_expand = 4, 4096, 32768, 1024
+        group, beam, expand, eps_expand = 2, 4096, 36864, 1024
     else:
         num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
         num_words = int(os.environ.get("BENCH_WORDS", 2000))
@@ -91,8 +94,11 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
                        quantized=os.environ.get("BENCH_QUANT") == "1")
     from catears_tpu.graph.transform import close_epsilons
     fst, eps_ok = close_epsilons(fst)
+    csr_default = 8 if kind == "trie" else 0
     dfst = DeviceFst.build(fst, tid2pdf,
                            group=int(os.environ.get("BENCH_GROUP", group)),
+                           csr_group=int(os.environ.get("BENCH_CSR_GROUP",
+                                                        csr_default)) or None,
                            eps_depth_cap=1 if eps_ok else None)
     dlm = None
     if os.environ.get("BENCH_LM") == "1":
@@ -393,6 +399,11 @@ def main_scaling():
     (efficiency = t_unsharded / t_sharded).  On real multi-chip hardware
     the same code path measures true scaling; the BASELINE.md target is
     >= 80% efficiency.
+
+    The workload is a scaled-down TRIE graph (same mkgraph shape as the
+    headline decode: word-end epsilons, heavy-tailed fanout, planted
+    word paths) so partitioning overhead is measured on the decode that
+    matters — not the round-1 toy loop.
     """
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
@@ -407,12 +418,11 @@ def main_scaling():
 
     batch = int(os.environ.get("BENCH_BATCH", 8))
     seconds = float(os.environ.get("BENCH_SECONDS", 2.0))
-    os.environ.setdefault("BENCH_GRAPH", "loop")
-    os.environ.setdefault("BENCH_WORDS", "200")
-    os.environ.setdefault("BENCH_PDFS", "512")
+    os.environ.setdefault("BENCH_GRAPH", "trie")
+    os.environ.setdefault("BENCH_WORDS", "2000")
     os.environ.setdefault("BENCH_HIDDEN", "256")
-    os.environ.setdefault("BENCH_BEAM", "512")
-    os.environ.setdefault("BENCH_EXPAND", "1024")
+    os.environ.setdefault("BENCH_BEAM", "1024")
+    os.environ.setdefault("BENCH_EXPAND", "8192")
     os.environ.setdefault("BENCH_EPS_EXPAND", "1024")
     am, fst, dfst, _, cfg, wave, _, _ = build_bench_setup(batch, seconds)
     t_frames = num_frames(wave.shape[1])

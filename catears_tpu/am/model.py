@@ -69,19 +69,26 @@ class AcousticModel:
         self.chunk_size = chunk_size
         self.num_pdfs = num_pdfs
 
-    def calibrate(self, padded_feats: np.ndarray) -> None:
+    def calibrate(self, padded_feats, margin: float = 0.05,
+                  guard: bool = False) -> None:
         """Calibrate int8 activation ranges on representative features.
 
-        padded_feats: [L + T + R, 40] context-padded fbank rows.  After
-        calibration every linear quantizes with a static range (no per-call
-        min/max reductions, see am.quant.calibrate_ranges).  No-op on the
-        float path.
+        padded_feats: [L + T + R, 40] context-padded fbank rows, or a LIST
+        of such arrays (multi-utterance calibration).  After calibration
+        every linear quantizes with a static range (no per-call min/max
+        reductions); guard=True falls back to exact dynamic quantization
+        whenever a held-out input exceeds the calibrated range (see
+        am.quant.calibrate_ranges).  No-op on the float path.
         """
         if not self.quantized:
             return
         from catears_tpu.am.quant import calibrate_ranges
+        if not isinstance(padded_feats, (list, tuple)):
+            padded_feats = [padded_feats]
         calibrate_ranges(self.nnet_def, self.float_params, self.params,
-                         jnp.asarray(padded_feats, jnp.float32))
+                         [jnp.asarray(x, jnp.float32)
+                          for x in padded_feats],
+                         margin=margin, guard=guard)
 
     @classmethod
     def read(cls, conf: Configuration) -> "AcousticModel":

@@ -21,7 +21,7 @@ test/gemm_test.cc:120).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,26 +157,79 @@ def quantize_params(nnet_def: NnetDef, params: NnetParams) -> List[dict]:
 
 
 def calibrate_ranges(nnet_def: NnetDef, params: NnetParams,
-                     qparams: List[dict], x: jnp.ndarray,
-                     margin: float = 0.05) -> None:
-    """Record each linear's input (min, max) from a float forward pass.
+                     qparams: List[dict], xs, margin: float = 0.05,
+                     guard: bool = False) -> None:
+    """Record each linear's input (min, max) from float forward passes.
 
-    Runs the FLOAT stack on representative features and attaches the
-    observed activation range (+margin headroom for unseen data) to each
-    linear's qparams entry; nnet_forward_quant then uses the reduction-free
-    quantize_static path.  The reference has no calibration (its gemmlowp
-    path re-derives ranges per GEMM, src/matrix.cc:348-420) — this is the
-    deployment-standard refinement of the same affine semantics.
+    Runs the FLOAT stack on representative features (ONE array or a LIST
+    of per-utterance arrays — multi-utterance calibration tracks the
+    running min/max across all of them) and attaches the observed
+    activation range (+margin headroom for unseen data) to each linear's
+    qparams entry; nnet_forward_quant then uses the reduction-free
+    quantize_static path.  Out-of-range activations saturate by default
+    (standard post-training quantization); pass guard=True to fall back
+    to exact dynamic quantization whenever an input exceeds the
+    calibrated range — that re-adds the min/max reductions but bounds
+    the saturation error at zero.  The reference has no calibration (its
+    gemmlowp path re-derives ranges per GEMM, src/matrix.cc:348-420) —
+    this is the deployment-standard refinement of the same affine
+    semantics.
     """
     from catears_tpu.am.nnet import nnet_forward
 
-    for i, (layer, p) in enumerate(zip(nnet_def, params)):
-        if layer[0] == "linear":
-            mn = float(jnp.min(x))
-            mx = float(jnp.max(x))
-            pad = margin * max(mx - mn, 1e-6)
-            qparams[i]["rng"] = (mn - pad, mx + pad)
-        x = nnet_forward(nnet_def[i:i + 1], [p], x)
+    if not isinstance(xs, (list, tuple)):
+        xs = [xs]
+    ranges: List[Optional[Tuple[float, float]]] = [None] * len(nnet_def)
+    for x in xs:
+        x = jnp.asarray(x)
+        for i, (layer, p) in enumerate(zip(nnet_def, params)):
+            if layer[0] == "linear":
+                mn = float(jnp.min(x))
+                mx = float(jnp.max(x))
+                if ranges[i] is None:
+                    ranges[i] = (mn, mx)
+                else:
+                    ranges[i] = (min(ranges[i][0], mn),
+                                 max(ranges[i][1], mx))
+            x = nnet_forward(nnet_def[i:i + 1], [p], x)
+    # Guardedness is encoded in the KEY ("grng" vs "rng"): dict keys are
+    # static in jax pytrees, values are traced leaves — a bool leaf would
+    # break Python branching under jit.
+    key = "grng" if guard else "rng"
+    for i, r in enumerate(ranges):
+        if r is not None:
+            pad = margin * max(r[1] - r[0], 1e-6)
+            qparams[i].pop("rng", None)
+            qparams[i].pop("grng", None)
+            qparams[i][key] = (r[0] - pad, r[1] + pad)
+
+
+def calibration_coverage(nnet_def: NnetDef, params: NnetParams,
+                         qparams: List[dict], xs) -> List[float]:
+    """Fraction of activations inside each linear's calibrated range.
+
+    Validation helper: run held-out utterances through the float stack
+    and report per-linear in-range fractions — a coverage well below 1.0
+    means the calibration set under-represents the deployment data and
+    the saturating static path will distort (use more calibration
+    utterances, a larger margin, or guard=True).
+    """
+    from catears_tpu.am.nnet import nnet_forward
+
+    if not isinstance(xs, (list, tuple)):
+        xs = [xs]
+    inside = [0] * len(nnet_def)
+    total = [0] * len(nnet_def)
+    for x in xs:
+        x = jnp.asarray(x)
+        for i, (layer, p) in enumerate(zip(nnet_def, params)):
+            if layer[0] == "linear" and (
+                    "rng" in qparams[i] or "grng" in qparams[i]):
+                mn, mx = qparams[i].get("rng") or qparams[i]["grng"]
+                inside[i] += int(jnp.sum((x >= mn) & (x <= mx)))
+                total[i] += x.size
+            x = nnet_forward(nnet_def[i:i + 1], [p], x)
+    return [inside[i] / total[i] for i in range(len(nnet_def)) if total[i]]
 
 
 def nnet_forward_quant(nnet_def: NnetDef, qparams: List[dict],
@@ -190,8 +243,17 @@ def nnet_forward_quant(nnet_def: NnetDef, qparams: List[dict],
     for layer, p in zip(nnet_def, qparams):
         kind = layer[0]
         if kind == "linear":
-            xq = (quantize_static(x, *p["rng"]) if "rng" in p
-                  else quantize(x))
+            if "grng" in p:
+                # Guarded static path: exact dynamic quantization whenever
+                # the input exceeds the calibrated range (costs the
+                # min/max reductions back, bounds saturation error at 0).
+                mn = jnp.minimum(jnp.min(x), p["grng"][0])
+                mx = jnp.maximum(jnp.max(x), p["grng"][1])
+                xq = quantize_static(x, mn, mx)
+            elif "rng" in p:
+                xq = quantize_static(x, *p["rng"])
+            else:
+                xq = quantize(x)
             x = qmatmul(xq, p["wq"], colsum_b=p.get("colsum")) + p["b"]
         elif kind == "relu":
             x = jnp.maximum(x, 0.0)

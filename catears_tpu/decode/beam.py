@@ -57,6 +57,18 @@ class BeamConfig:
     def arena_size(self) -> int:
         return (1 + self.max_eps_iters) * self.beam_size
 
+    def arena_rows(self, dfst) -> int:
+        """Arena rows actually reachable: 1 emitting block + one block per
+        closure round.  A static epsilon depth shrinks the arena (and the
+        zero-init + copy traffic every frame pays for it)."""
+        return (1 + _closure_rounds(self, dfst)) * self.beam_size
+
+
+def _closure_rounds(cfg: "BeamConfig", dfst) -> int:
+    if dfst.eps_depth is not None and dfst.eps_depth <= cfg.max_eps_iters:
+        return dfst.eps_depth
+    return cfg.max_eps_iters
+
 
 class BeamState(NamedTuple):
     """One utterance's beam; slots sorted by cost, state == -1 when empty."""
@@ -96,17 +108,17 @@ class FrameTrace(NamedTuple):
     words: jnp.ndarray  # i32 [K, W]
 
 
-def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
+def _select_best(cfg: BeamConfig, states, lms, costs, payloads):
     """Dedup by (state, lm) keeping min cost, then exact top-K by cost.
 
     Stable sort means ties keep input order, so earlier entries win —
     matching the reference's strict-improvement insert (src/decoder.cc:172).
-    Returns (BeamState fields without bp) + payloads gathered at kept slots.
+    Returns (states, lms, costs, *payload_columns) at the kept K slots.
 
     lms may be None (no delta-LM): drops a sort key AND an operand.  The
     payloads ride through the sorts as one iota operand and are recovered
     with a single packed post-sort row gather of K rows — cheaper than
-    carrying two extra [E] operands through every bitonic pass.
+    carrying extra [E] operands through every bitonic pass.
 
     Pruning is a SECOND stable sort by effective cost, not lax.top_k: on
     TPU top_k(n -> K) at beam shapes measures ~5x the marginal cost of one
@@ -122,52 +134,71 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payload_a, payload_b):
             (states, costs, iota), num_keys=2)
         first = jnp.ones_like(s_states, jnp.bool_)
         first = first.at[1:].set(s_states[1:] != s_states[:-1])
-        eff_cost = jnp.where(first & (s_states < SENTINEL_STATE),
-                             s_costs, INF)
-        top_costs, top_states, top_iota = jax.lax.sort(
-            (eff_cost, s_states, s_iota), num_keys=1)
-        top_lms = None
     else:
         s_states, s_lms, s_costs, s_iota = jax.lax.sort(
             (states, lms, costs, iota), num_keys=3)
         first = jnp.ones_like(s_states, jnp.bool_)
         first = first.at[1:].set((s_states[1:] != s_states[:-1])
                                  | (s_lms[1:] != s_lms[:-1]))
-        eff_cost = jnp.where(first & (s_states < SENTINEL_STATE),
-                             s_costs, INF)
-        top_costs, top_states, top_lms, top_iota = jax.lax.sort(
-            (eff_cost, s_states, s_lms, s_iota), num_keys=1)
-        top_lms = top_lms[:k]
-    top_costs, top_states, top_iota = (
-        top_costs[:k], top_states[:k], top_iota[:k])
+    eff_cost = jnp.where(first & (s_states < SENTINEL_STATE), s_costs, INF)
+    # Prune sort carries ONLY (eff_cost, original index): every other field
+    # — state, lm, payloads — is recovered by a single packed row gather of
+    # the kept K slots, instead of riding every bitonic pass as an operand
+    # (sorts here are HBM-bandwidth-bound: each operand costs a full
+    # N x stages read+write).
+    top_costs, top_iota = jax.lax.sort((eff_cost, s_iota), num_keys=1)
+    top_costs, top_iota = top_costs[:k], top_iota[:k]
     valid = jnp.isfinite(top_costs)
-    payload = jnp.stack([payload_a, payload_b], axis=1)[top_iota]  # [K, 2]
-    lms_out = (jnp.zeros((k,), jnp.int32) if top_lms is None
-               else jnp.where(valid, top_lms, 0))
+    cols = [states] + ([] if lms is None else [lms]) + list(payloads)
+    payload = jnp.stack(cols, axis=1)[top_iota]  # [K, 2+P] row gather
+    lms_out = (jnp.zeros((k,), jnp.int32) if lms is None
+               else jnp.where(valid, payload[:, 1], 0))
+    off = 1 if lms is None else 2
     return (
-        jnp.where(valid, top_states, -1),
+        jnp.where(valid, payload[:, 0], -1),
         lms_out,
         jnp.where(valid, top_costs, INF),
-        payload[:, 0],
-        payload[:, 1],
-    )
+    ) + tuple(payload[:, off + i] for i in range(len(payloads)))
 
 
-def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
-                capacity: int, row_lo: jnp.ndarray, n_arcs: jnp.ndarray):
+class Cands(NamedTuple):
+    """Slim expansion candidate bundle ([E] arrays, lm/bp only on demand).
+
+    Every field materialized here is a full [E] HBM array that the
+    downstream sorts and selects must then move, so cost carries the
+    pre-folded token + graph weight and unused fields stay None.
+    """
+
+    tok: jnp.ndarray  # i32 [E] source beam slot
+    valid: jnp.ndarray  # bool [E]
+    cost: jnp.ndarray  # f32 [E] token cost + arc graph weight
+    next_state: jnp.ndarray  # i32 [E]
+    olabel: jnp.ndarray  # i32 [E]
+    pdf: jnp.ndarray  # i32 [E]
+    eps: Optional[jnp.ndarray]  # i32 [E] dest's packed eps meta, or None
+    lm: Optional[jnp.ndarray]  # i32 [E] or None
+    bp: Optional[jnp.ndarray]  # i32 [E] or None
+    overflow: jnp.ndarray  # bool scalar
+    needed: jnp.ndarray  # i32 scalar: arc slots this expansion wanted
+
+
+def _expand_csr(cfg: BeamConfig, table: jnp.ndarray, g: int,
+                beam: BeamState, capacity: int, row_lo: jnp.ndarray,
+                n_arcs: jnp.ndarray, need_lm: bool, need_bp: bool,
+                need_eps: bool) -> Cands:
     """CSR expansion over per-token spans (row_lo in grouped-row units).
 
-    Tuned for the TPU's gather cost model (per-ROW, width nearly free):
-    arcs are stored G per row (DeviceFst.group), so ownership bookkeeping
-    and both row gathers run over capacity/G grouped slots:
-      1. token row  [E/G, 8]   — per-token values packed per frame
-      2. arc row    [E/G, G*4] — G arcs per fetched row
+    Tuned for the TPU gather cost model (per-ROW, width nearly free; small
+    tables much cheaper): arcs are stored g per row of `table`, so
+    ownership bookkeeping and both row gathers run over capacity/g
+    grouped slots:
+      1. token row  [E/g, 8]   — per-token values packed per frame
+      2. arc row    [E/g, g*6] — g arcs per fetched row
     Slot->token ownership is a scatter of span starts + cummax fill — no
     binary searches, no per-field gathers.  Outputs are flattened back to
     [capacity] candidates.
     """
     k = cfg.beam_size
-    g = dfst.group
     n_slots = -(-capacity // g)
     capacity = n_slots * g  # round up to a whole number of grouped rows
     span_rows = (n_arcs + (g - 1)) // g
@@ -196,35 +227,53 @@ def _expand_csr(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
         beam.bp,
         slots, slots, slots,
     ], axis=1)  # [K, 8]
-    tr = token_row[tok_c]  # [E/G, 8] row gather
+    tr = token_row[tok_c]  # [E/g, 8] row gather (small per-frame table)
     s = jnp.arange(n_slots, dtype=jnp.int32)
-    row_idx = jnp.clip(tr[:, 0] + s, 0, dfst.num_arc_rows - 1)
-    ap = dfst.arc_packed[row_idx].reshape(n_slots, g, 4)  # [E/G, G*4] gather
+    row_idx = jnp.clip(tr[:, 0] + s, 0, table.shape[0] - 1)
+    L = 5  # arc lanes (DeviceFst.ARC_LANES)
+    ap = table[row_idx].reshape(n_slots, g, L)  # [E/g, g*5] row gather
 
     lanes = jnp.arange(g, dtype=jnp.int32)
     valid_e = (tok[:, None] >= 0) & (g * s[:, None] + lanes < tr[:, 1:2])
 
     rep = lambda x: jnp.repeat(x, g, total_repeat_length=capacity)  # noqa: E731
-    tok_cost = rep(jax.lax.bitcast_convert_type(tr[:, 2], jnp.float32))
-    return (
-        rep(tok_c),
-        valid_e.reshape(capacity),
-        tok_cost,
-        rep(tr[:, 3]),  # lm
-        rep(tr[:, 4]),  # bp
-        ap[:, :, 0].reshape(capacity),  # next state
-        ap[:, :, 1].reshape(capacity),  # olabel
-        jax.lax.bitcast_convert_type(ap[:, :, 2].reshape(capacity),
-                                     jnp.float32),  # weight
-        ap[:, :, 3].reshape(capacity),  # pdf
-        overflow,
-        (rows_needed * g).astype(jnp.int32),
+    tok_cost = jax.lax.bitcast_convert_type(tr[:, 2], jnp.float32)
+    weight = jax.lax.bitcast_convert_type(ap[:, :, 2], jnp.float32)
+    cost = (tok_cost[:, None] + weight).reshape(capacity)
+    return Cands(
+        tok=rep(tok_c),
+        valid=valid_e.reshape(capacity),
+        cost=cost,
+        next_state=ap[:, :, 0].reshape(capacity),
+        olabel=ap[:, :, 1].reshape(capacity),
+        pdf=ap[:, :, 3].reshape(capacity),
+        eps=ap[:, :, 4].reshape(capacity) if need_eps else None,
+        lm=rep(tr[:, 3]) if need_lm else None,
+        bp=rep(tr[:, 4]) if need_bp else None,
+        overflow=overflow,
+        needed=(rows_needed * g).astype(jnp.int32),
     )
 
 
+def _expand_eps_carried(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
+                        capacity: int, eps_meta: jnp.ndarray, need_lm: bool,
+                        need_eps: bool) -> Cands:
+    """Epsilon expansion using CARRIED per-slot packed eps metadata.
+
+    The metadata (eps_row_lo << 9 | n_eps) was pre-joined into the arcs
+    that produced this beam (DeviceFst layout), so no state_packed gather
+    is needed — the closure touches only the small eps_packed table.
+    """
+    eps_lo = eps_meta >> 9
+    n = jnp.where(beam.states >= 0, eps_meta & 511, 0)
+    return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, beam, capacity,
+                       eps_lo, n, need_lm, True, need_eps)
+
+
 def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
-            emitting: bool):
-    """Map expansion slots -> (token, cost, lm, bp, arc next/olabel/weight/pdf).
+            emitting: bool, need_lm: bool, need_bp: bool,
+            need_eps: bool = False) -> Cands:
+    """Expand the beam's arcs into a Cands bundle.
 
     Emitting arcs use a three-pass scheme:
       Pass S (self-loop): the extracted self-loop lanes ride the block row
@@ -236,55 +285,77 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         guaranteed coverage for the typical small-fanout HCLG state.
       Pass B (overflow): arcs beyond the first G flow through the CSR
         expansion with `capacity` candidate slots — only high-fanout states
-        contribute.
-    Epsilon closure uses the pure CSR path (most states have no eps arcs,
-    so per-token blocks would waste sort bandwidth downstream).
+        contribute (small over_packed table).
+    The non-emitting variant (epsilon arcs via a state_packed gather) is
+    the fallback for beams with no carried epsilon metadata (init, dynamic
+    closure); steady-state frames use _expand_eps_carried instead.
     """
     k = cfg.beam_size
     g = dfst.group
+    L = 5  # arc lanes
     state_c = jnp.clip(beam.states, 0, dfst.num_states - 1)
     valid_tok = beam.states >= 0
     if not emitting:
         sp = dfst.state_packed[state_c]  # [K, 4] row gather
         n_eps = jnp.where(valid_tok, sp[:, 1], 0)
-        return _expand_csr(cfg, dfst, beam, capacity, sp[:, 0], n_eps)
+        return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, beam,
+                           capacity, sp[:, 0], n_eps, need_lm, need_bp,
+                           need_eps)
 
     # Passes S+A: ONE direct row gather carrying the block arcs, the
     # state_packed lanes and the extracted self-loop, token fields
     # broadcast straight from the beam arrays (no token-row indirection).
-    eb = dfst.emit_block[state_c]  # [K, G*4 + 8] row gather
-    sp = eb[:, g * 4:g * 4 + 4]
-    sf = eb[:, g * 4 + 4:]
+    eb = dfst.emit_block[state_c]  # [K, G*6 + 8] row gather
+    sp = eb[:, g * L:g * L + 4]
+    sf = eb[:, g * L + 4:]
     n_emit = jnp.where(valid_tok, sp[:, 3], 0)
-    blk = eb[:, :g * 4].reshape(k, g, 4)
+    blk = eb[:, :g * L].reshape(k, g, L)
     lanes = jnp.arange(g, dtype=jnp.int32)
     valid_a = lanes[None, :] < n_emit[:, None]
     slots = jnp.arange(k, dtype=jnp.int32)
     repk = lambda x: jnp.repeat(x, g, total_repeat_length=k * g)  # noqa: E731
-    pass_sa = (
-        jnp.concatenate([slots, repk(slots)]),
-        jnp.concatenate([valid_tok & (sf[:, 0] > 0),
-                         valid_a.reshape(k * g)]),
-        jnp.concatenate([beam.costs, repk(beam.costs)]),
-        jnp.concatenate([beam.lm, repk(beam.lm)]),
-        jnp.concatenate([beam.bp, repk(beam.bp)]),
-        jnp.concatenate([state_c, blk[:, :, 0].reshape(k * g)]),
-        jnp.concatenate([sf[:, 1], blk[:, :, 1].reshape(k * g)]),
-        jax.lax.bitcast_convert_type(
-            jnp.concatenate([sf[:, 2], blk[:, :, 2].reshape(k * g)]),
-            jnp.float32),
-        jnp.concatenate([sf[:, 3], blk[:, :, 3].reshape(k * g)]),
+    blk_w = jax.lax.bitcast_convert_type(blk[:, :, 2], jnp.float32)
+    self_w = jax.lax.bitcast_convert_type(sf[:, 2], jnp.float32)
+    cat2 = lambda a, b: jnp.concatenate([a, b])  # noqa: E731
+    pass_sa = Cands(
+        tok=cat2(slots, repk(slots)),
+        valid=cat2(valid_tok & (sf[:, 0] > 0), valid_a.reshape(k * g)),
+        cost=cat2(beam.costs + self_w,
+                  (beam.costs[:, None] + blk_w).reshape(k * g)),
+        next_state=cat2(state_c, blk[:, :, 0].reshape(k * g)),
+        olabel=cat2(sf[:, 1], blk[:, :, 1].reshape(k * g)),
+        pdf=cat2(sf[:, 3], blk[:, :, 3].reshape(k * g)),
+        # Self-loop dest == own state: its eps metadata is the state lanes.
+        eps=(cat2((sp[:, 0] << 9) | sp[:, 1], blk[:, :, 4].reshape(k * g))
+             if need_eps else None),
+        lm=(cat2(beam.lm, repk(beam.lm)) if need_lm else None),
+        bp=(cat2(beam.bp, repk(beam.bp)) if need_bp else None),
+        overflow=jnp.bool_(False),
+        needed=jnp.int32(0),
     )
     # Pass B: CSR overflow for states with fanout > G.  Statically skipped
     # when the whole graph's fanout fits the first-G block — the overflow
     # slots would be permanently empty and only pad the dedup sorts.
     if dfst.max_emit_fanout <= g:
-        return pass_sa + (jnp.bool_(False), jnp.int32(0))
-    pass_b = _expand_csr(cfg, dfst, beam, capacity, sp[:, 2],
-                         jnp.maximum(n_emit - g, 0))
-    merged = tuple(jnp.concatenate([a, b])
-                   for a, b in zip(pass_sa, pass_b[:9]))
-    return merged + pass_b[9:]
+        return pass_sa
+    pass_b = _expand_csr(cfg, dfst.over_packed, dfst.csr_group, beam,
+                         capacity, sp[:, 2], jnp.maximum(n_emit - g, 0),
+                         need_lm, need_bp, need_eps)
+    cat = lambda a, b: (jnp.concatenate([a, b])  # noqa: E731
+                        if a is not None else None)
+    return Cands(
+        tok=cat(pass_sa.tok, pass_b.tok),
+        valid=cat(pass_sa.valid, pass_b.valid),
+        cost=cat(pass_sa.cost, pass_b.cost),
+        next_state=cat(pass_sa.next_state, pass_b.next_state),
+        olabel=cat(pass_sa.olabel, pass_b.olabel),
+        pdf=cat(pass_sa.pdf, pass_b.pdf),
+        eps=cat(pass_sa.eps, pass_b.eps),
+        lm=cat(pass_sa.lm, pass_b.lm),
+        bp=cat(pass_sa.bp, pass_b.bp),
+        overflow=pass_b.overflow,
+        needed=pass_b.needed,
+    )
 
 
 def _acoustic_lookup(logp: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
@@ -317,35 +388,46 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     logp is this utterance's [P] log-prob row; the acoustic lookup is a
     two-level one-hot select (see _acoustic_lookup).
     """
-    (tok, valid_e, tok_cost, tok_lm, _tok_bp, next_state, olabel, weight,
-     pdf, overflow, needed) = _expand(cfg, dfst, beam, cfg.expand_size, True)
-    ac_cost = -cfg.am_scale * _acoustic_lookup(logp, pdf)
-    cost = tok_cost + weight + ac_cost
+    need_eps = (dfst.eps_depth is not None
+                and 0 < dfst.eps_depth <= cfg.max_eps_iters
+                and dfst.eps_meta_ok)
+    c = _expand(cfg, dfst, beam, cfg.expand_size, True,
+                need_lm=dlm is not None, need_bp=False, need_eps=need_eps)
+    ac_cost = -cfg.am_scale * _acoustic_lookup(logp, c.pdf)
+    cost = c.cost + ac_cost
     if dlm is not None:
-        lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
+        lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
         cost = cost + lm_w
     else:
         lm_state = None
-    cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
-    cand_cost = jnp.where(valid_e, cost, INF)
-    parent_enc = -(tok + 1)  # previous-frame slot reference
-    states, lms, costs, parent, olab = _select_best(
-        cfg, cand_state, lm_state, cand_cost, parent_enc, olabel)
+    cand_state = jnp.where(c.valid, c.next_state, SENTINEL_STATE)
+    cand_cost = jnp.where(c.valid, cost, INF)
+    payloads = [c.tok, c.olabel] + ([c.eps] if need_eps else [])
+    states, lms, costs, parent, olab, *eps_info = _select_best(
+        cfg, cand_state, lm_state, cand_cost, payloads)
     # Beam threshold: exact equivalent of the adaptive cutoff
     cutoff = costs[0] + cfg.beam
     keep = costs <= cutoff
     states = jnp.where(keep, states, -1)
     costs = jnp.where(keep, costs, INF)
     k = cfg.beam_size
-    # Packed arena rows: (parent_enc, olabel) — one row gather per hop later
-    arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
-    arena = arena.at[:k, 0].set(parent)
-    arena = arena.at[:k, 1].set(jnp.where(keep, olab, 0))
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32),
-                         beam.overflow | overflow,
-                         beam.hiwater.at[0].max(needed))
-    return new_beam, arena, cutoff
+                         beam.overflow | c.overflow,
+                         beam.hiwater.at[0].max(c.needed))
+    return (new_beam, parent, jnp.where(keep, olab, 0), cutoff,
+            tuple(eps_info))
+
+
+def _arena_from_emit(cfg: BeamConfig, dfst: DeviceFst, parent, olab):
+    """Arena block 0 from the emitting step (dynamic-closure path only).
+
+    Rows are packed (parent_enc, olabel) with parent_enc = -(prev_slot+1)
+    marking a previous-frame reference."""
+    k = cfg.beam_size
+    arena = jnp.zeros((cfg.arena_rows(dfst), 2), jnp.int32)
+    arena = arena.at[:k, 0].set(-(parent + 1))
+    return arena.at[:k, 1].set(olab)
 
 
 def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
@@ -365,29 +447,28 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
 
     def body(carry):
         beam, arena, j, _ = carry
-        (tok, valid_e, tok_cost, tok_lm, tok_bp, next_state, olabel, weight,
-         _pdf, overflow, needed) = _expand(cfg, dfst, beam,
-                                           cfg.eps_expand_size, False)
-        cost = tok_cost + weight
+        c = _expand(cfg, dfst, beam, cfg.eps_expand_size, False,
+                    need_lm=dlm is not None, need_bp=True)
+        cost = c.cost
         if dlm is not None:
-            lm_state, lm_w = lm_propagate(dlm, tok_lm, olabel)
+            lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
             cost = cost + lm_w
-        valid_e = valid_e & (cost <= cutoff)
-        cand_state = jnp.where(valid_e, next_state, SENTINEL_STATE)
+        valid_e = c.valid & (cost <= cutoff)
+        cand_state = jnp.where(valid_e, c.next_state, SENTINEL_STATE)
         cand_cost = jnp.where(valid_e, cost, INF)
         # Merge current beam with candidates.  Beam entries come first so
         # the stable sort keeps them on cost ties (strict improvement).
-        # Candidate refs are offset by arena_size to mark is_cand in one
-        # payload array.
-        m = cfg.arena_size
+        # Candidate refs are offset by the arena row count to mark is_cand
+        # in one payload array.
+        m = arena.shape[0]
         m_states = jnp.concatenate([beam.states, cand_state])
         m_lms = (jnp.concatenate([beam.lm, lm_state])
                  if dlm is not None else None)
         m_costs = jnp.concatenate([beam.costs, cand_cost])
-        m_ref = jnp.concatenate([beam.bp, tok_bp + m])
-        m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), olabel])
+        m_ref = jnp.concatenate([beam.bp, c.bp + m])
+        m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), c.olabel])
         states, lms, costs, ref_enc, olab = _select_best(
-            cfg, m_states, m_lms, m_costs, m_ref, m_olab)
+            cfg, m_states, m_lms, m_costs, [m_ref, m_olab])
         iscand = ref_enc >= m
         ref = jnp.where(iscand, ref_enc - m, ref_enc)
         accepted = iscand & (states >= 0)
@@ -398,8 +479,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                            jnp.where(accepted, olab, 0)], axis=1)
         arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
         new_beam = BeamState(states, lms, costs, new_bp,
-                             beam.overflow | overflow,
-                             beam.hiwater.at[1].max(needed))
+                             beam.overflow | c.overflow,
+                             beam.hiwater.at[1].max(c.needed))
         return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
@@ -412,6 +493,79 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         init = (beam, arena, jnp.zeros((), jnp.int32), jnp.bool_(True))
         beam, arena, _, _ = jax.lax.while_loop(cond, body, init)
     return beam, arena
+
+
+def _eps_closure_fused(cfg: BeamConfig, dfst: DeviceFst,
+                       dlm: Optional[DeviceLm], beam: BeamState,
+                       parent: jnp.ndarray, olab0: jnp.ndarray,
+                       eps_info: Tuple, cutoff):
+    """Static-depth epsilon closure with INLINE trace composition.
+
+    When the closure depth is known statically there is no need for the
+    arena at all: each round's chains extend by exactly one hop, so the
+    per-slot (prev_frame_slot, words) trace is composed in-register with
+    ONE packed row gather per round — no arena zero-init, no
+    dynamic_update_slice copies, no resolve walk afterwards.  The beam's
+    per-slot epsilon metadata (eps_info, pre-joined into the arcs that
+    produced it) means no state_packed gather either: the closure touches
+    only the small eps_packed table.
+
+    beam.bp must be the identity (slot ids), as _emitting_step returns it.
+    Returns (beam', prev_slot [K], words [K, rounds+1] newest-first).
+    """
+    k = cfg.beam_size
+    rounds = _closure_rounds(cfg, dfst)
+    prev = parent
+    words = olab0[:, None]
+    slots = jnp.arange(k, dtype=jnp.int32)
+    use_meta = dfst.eps_meta_ok
+    for j in range(rounds):
+        # Carry dest eps metadata only while further rounds will expand it.
+        carry_eps = use_meta and j + 1 < rounds
+        if use_meta:
+            (eps_meta,) = eps_info
+            c = _expand_eps_carried(cfg, dfst, beam, cfg.eps_expand_size,
+                                    eps_meta, need_lm=dlm is not None,
+                                    need_eps=carry_eps)
+        else:
+            # Pathological eps geometry: metadata doesn't pack into one
+            # lane — fall back to the state_packed gather.
+            c = _expand(cfg, dfst, beam, cfg.eps_expand_size, False,
+                        need_lm=dlm is not None, need_bp=True)
+        cost = c.cost
+        if dlm is not None:
+            lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
+            cost = cost + lm_w
+        valid_e = c.valid & (cost <= cutoff)
+        cand_state = jnp.where(valid_e, c.next_state, SENTINEL_STATE)
+        cand_cost = jnp.where(valid_e, cost, INF)
+        m_states = jnp.concatenate([beam.states, cand_state])
+        m_lms = (jnp.concatenate([beam.lm, lm_state])
+                 if dlm is not None else None)
+        m_costs = jnp.concatenate([beam.costs, cand_cost])
+        # Refs: carried beam entries point at their own slot, candidates at
+        # their source slot + k (so one payload array carries is_cand too).
+        m_ref = jnp.concatenate([slots, c.bp + k])
+        m_olab = jnp.concatenate([jnp.zeros_like(slots), c.olabel])
+        payloads = [m_ref, m_olab]
+        if carry_eps:
+            payloads.append(jnp.concatenate([eps_meta, c.eps]))
+        states, lms, costs, ref_enc, olab, *eps_out = _select_best(
+            cfg, m_states, m_lms, m_costs, payloads)
+        eps_info = tuple(eps_out)
+        iscand = ref_enc >= k
+        r = jnp.clip(jnp.where(iscand, ref_enc - k, ref_enc), 0, k - 1)
+        row = jnp.concatenate([prev[:, None], words], axis=1)[r]  # [K, 1+w]
+        accepted = iscand & (states >= 0)
+        prev = row[:, 0]
+        zero = jnp.zeros((k, 1), jnp.int32)
+        words = jnp.where(accepted[:, None],
+                          jnp.concatenate([olab[:, None], row[:, 1:]], 1),
+                          jnp.concatenate([row[:, 1:], zero], 1))
+        beam = BeamState(states, lms, costs, slots,
+                         beam.overflow | c.overflow,
+                         beam.hiwater.at[1].max(c.needed))
+    return beam, prev, words
 
 
 def _resolve_chains(cfg: BeamConfig, dfst: DeviceFst, bp: jnp.ndarray,
@@ -454,9 +608,18 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     freezing is the safe equivalent for a batched decoder where other
     utterances in the batch continue.
     """
-    new_beam, arena, cutoff = _emitting_step(cfg, dfst, dlm, beam, logp)
-    new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena, cutoff)
-    prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
+    new_beam, parent, olab0, cutoff, eps_info = _emitting_step(
+        cfg, dfst, dlm, beam, logp)
+    static = (dfst.eps_depth is not None
+              and dfst.eps_depth <= cfg.max_eps_iters)
+    if static:
+        new_beam, prev_slot, words = _eps_closure_fused(
+            cfg, dfst, dlm, new_beam, parent, olab0, eps_info, cutoff)
+    else:
+        arena = _arena_from_emit(cfg, dfst, parent, olab0)
+        new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena,
+                                       cutoff)
+        prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
 
     # Overflow only counts on real frames (padded frames re-expand the same
     # frozen beam; their truncation is reported when a real frame hits it).
@@ -492,12 +655,22 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     bp = jnp.arange(k, dtype=jnp.int32)
     beam = BeamState(states, lms, costs, bp, jnp.bool_(False),
                      jnp.zeros((2,), jnp.int32))
-    arena = jnp.zeros((cfg.arena_size, 2), jnp.int32)
-    # Root entries terminate the backtrace: parent slot of a nonexistent
-    # previous frame.
-    arena = arena.at[:k, 0].set(-(bp + 1))
-    beam, arena = _eps_closure(cfg, dfst, dlm, beam, arena, INF)
-    _, words = _resolve_chains(cfg, dfst, beam.bp, arena)
+    static = (dfst.eps_depth is not None
+              and dfst.eps_depth <= cfg.max_eps_iters)
+    if static:
+        # The root beam has no carried eps metadata: gather state_packed
+        # once (init only, not in the frame loop).
+        sp = dfst.state_packed[jnp.clip(states, 0, dfst.num_states - 1)]
+        eps_info = ((sp[:, 0] << 9) | jnp.where(states >= 0, sp[:, 1], 0),)
+        beam, _, words = _eps_closure_fused(cfg, dfst, dlm, beam, bp,
+                                            jnp.zeros((k,), jnp.int32),
+                                            eps_info, INF)
+    else:
+        # Root entries terminate the backtrace: parent slot of a
+        # nonexistent previous frame.
+        arena = _arena_from_emit(cfg, dfst, bp, jnp.zeros((k,), jnp.int32))
+        beam, arena = _eps_closure(cfg, dfst, dlm, beam, arena, INF)
+        _, words = _resolve_chains(cfg, dfst, beam.bp, arena)
     # The init pseudo-frame has no predecessor: every chain roots here.
     trace = FrameTrace(jnp.full((k,), -1, jnp.int32), words)
     beam = BeamState(beam.states, beam.lm, beam.costs,

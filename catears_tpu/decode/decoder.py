@@ -29,16 +29,33 @@ from catears_tpu.utils.errors import BeamCapacityError
 
 
 def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
-                has_lm: bool) -> BeamConfig:
+                has_lm: bool, csr_group: int = None,
+                lm_dup_factor: int = 4) -> BeamConfig:
     """Raise base's expansion capacities to the graph's worst case.
 
-    Guarantees the decoder can never truncate arc expansion — the static
-    analogue of the reference iterating every arc (src/decoder.cc:337-377).
+    Without a delta-LM the bound is exact and the decoder can NEVER
+    truncate — the static analogue of the reference iterating every arc
+    (src/decoder.cc:337-377).
+
+    With a delta-LM the beam dedups on (state, lm) pairs, so the true
+    worst case is K tokens all parked on the single highest-fanout state
+    — K * max_rows, astronomically conservative for any real decode (at a
+    50k vocab it would allocate gigabytes).  Auto capacity instead
+    allows `lm_dup_factor` beam copies per HCLG state (capped at the true
+    worst case); genuine overshoot is still caught by the device overflow
+    flag and raises BeamCapacityError with the measured high-water mark,
+    so results are never silently wrong.
     """
     import dataclasses
 
     eb, epsb = expansion_bounds(fst, arc_group, base.beam_size,
-                                distinct_states=not has_lm)
+                                distinct_states=True, csr_group=csr_group)
+    if has_lm:
+        eb_w, epsb_w = expansion_bounds(fst, arc_group, base.beam_size,
+                                        distinct_states=False,
+                                        csr_group=csr_group)
+        eb = min(eb_w, lm_dup_factor * eb)
+        epsb = min(epsb_w, lm_dup_factor * epsb)
     return dataclasses.replace(
         base,
         expand_size=max(base.expand_size, eb, arc_group),
@@ -61,7 +78,8 @@ class Decoder:
                  config: Optional[BeamConfig] = None,
                  chunk_frames: int = 20,
                  arc_group: int = 4,
-                 close_eps: bool = True):
+                 close_eps: bool = True,
+                 csr_group: int = None):
         auto_capacity = config is None
         if config is None:
             config = BeamConfig(am_scale=am_scale)
@@ -80,12 +98,12 @@ class Decoder:
             # (smaller, faster) capacities and rely on the runtime
             # overflow flag raising BeamCapacityError.
             config = safe_config(dec_fst, arc_group, config,
-                                 delta_lm is not None)
+                                 delta_lm is not None, csr_group=csr_group)
         self.cfg = config
         self.fst = fst
         self.delta_lm = delta_lm
         self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                                    eps_depth_cap=cap)
+                                    eps_depth_cap=cap, csr_group=csr_group)
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
@@ -192,7 +210,8 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  config: Optional[BeamConfig] = None,
                  chunk_frames: int = 50,
                  arc_group: int = 4,
-                 close_eps: bool = True) -> List[Hypothesis]:
+                 close_eps: bool = True,
+                 csr_group: int = None) -> List[Hypothesis]:
     """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
     dec_fst, cap = fst, None
     if close_eps:
@@ -202,11 +221,11 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
     if config is None:
         config = safe_config(dec_fst, arc_group,
                              BeamConfig(am_scale=am_scale),
-                             delta_lm is not None)
+                             delta_lm is not None, csr_group=csr_group)
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
     dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                           eps_depth_cap=cap)
+                           eps_depth_cap=cap, csr_group=csr_group)
     dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
     has_lm = delta_lm is not None
 

@@ -41,15 +41,17 @@ def _per_state_arc_counts(fst: FlatFst):
 
 
 def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
-                     distinct_states: bool = True) -> Tuple[int, int]:
+                     distinct_states: bool = True,
+                     csr_group: Optional[int] = None,
+                     eps_group: Optional[int] = None) -> Tuple[int, int]:
     """Worst-case (expand_size, eps_expand_size) for a beam of K tokens.
 
     The emitting expansion's CSR overflow pass allocates ceil(max(n_emit
-    - group, 0) / group) rows per active token, and the epsilon closure
-    ceil(n_eps / group) rows; with at most K live tokens on distinct
-    states, the exact worst case is the sum over the K largest per-state
-    row counts.  Capacities at these bounds can NEVER truncate (the
-    reference iterates all arcs and never truncates either,
+    - group, 0) / csr_group) rows per active token, and the epsilon
+    closure ceil(n_eps / csr_group) rows; with at most K live tokens on
+    distinct states, the exact worst case is the sum over the K largest
+    per-state row counts.  Capacities at these bounds can NEVER truncate
+    (the reference iterates all arcs and never truncates either,
     src/decoder.cc:337-377); smaller capacities are guarded by the
     runtime overflow flag in decode.beam.
 
@@ -57,9 +59,11 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
     tokens can share one state — pass distinct_states=False for the
     K * max-rows bound instead of the top-K-distinct sum.
     """
+    gc = csr_group or group
+    ge = eps_group or group
     n_eps, n_emit = _per_state_arc_counts(fst)
-    over_rows = -(-np.maximum(n_emit - group, 0) // group)
-    eps_rows = -(-n_eps // group)
+    over_rows = -(-np.maximum(n_emit - group, 0) // gc)
+    eps_rows = -(-n_eps // ge)
 
     def worst(rows: np.ndarray) -> int:
         if rows.size == 0:
@@ -70,7 +74,7 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
         top = np.partition(rows, rows.size - k)[rows.size - k:]
         return int(top.sum())
 
-    return group * worst(over_rows), group * worst(eps_rows)
+    return gc * worst(over_rows), ge * worst(eps_rows)
 
 
 def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
@@ -100,36 +104,54 @@ def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["start", "final", "state_packed", "arc_packed",
-                 "emit_block"],
-    meta_fields=["eps_depth", "group", "max_emit_fanout"])
+    data_fields=["start", "final", "state_packed", "over_packed",
+                 "eps_packed", "emit_block"],
+    meta_fields=["eps_depth", "group", "csr_group", "eps_group",
+                 "eps_meta_ok", "max_emit_fanout"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFst:
     """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
 
-    The TPU gather cost model is per-ROW (row width is nearly free), so arcs
-    are fetched `group` (G) at a time:
+    The TPU gather cost model measured on chip (scripts/gatherprof.py and
+    the round-3 microbenches): a row gather's cost is per ROW with width
+    nearly free, AND gathers from tables beyond ~8 MB cost ~2x per row
+    plus a large fixed term.  The layout therefore (a) fetches arcs
+    `group` (G) at a time, (b) keeps the random-access side tables SMALL
+    by splitting epsilon and overflow arcs into separate sub-tables (for
+    real HCLGs both are a few MB even at 50k words — only high-fanout
+    states overflow and only word-end states carry epsilons), and (c)
+    PRE-JOINS each arc's destination epsilon metadata into the arc record
+    so the per-frame closure never touches the [S]-sized state table:
 
     * SELF-LOOP EXTRACTION: every state's first emitting self-loop (the arc
       HCLG's add-self-loops puts on every HMM state — typically HALF of all
       emitting arcs) is pulled out into 4 dedicated lanes of the block row.
       A self-loop needs no next-state lane and no slot bookkeeping: the
-      candidate is (same state, cost + w + acoustic), one per token.  This
-      roughly halves the per-state fanout the block/overflow passes must
-      cover, letting `group` shrink and with it the number of candidates
-      the dedup sorts chew on.
-    * `emit_block [S, G*4 + 8]` — every state's FIRST G remaining emitting
+      candidate is (same state, cost + w + acoustic), one per token.
+    * `emit_block [S, G*5 + 8]` — every state's FIRST G remaining emitting
       arcs ++ the state_packed lanes ++ the extracted self-loop lanes
       (has, olabel, weight_bits, pdf).  Each active token does ONE direct
-      row gather here.
-    * `arc_packed [R, G*4]` — CSR rows holding (a) all epsilon arcs and
-      (b) emitting-arc OVERFLOW (non-self arcs beyond the first G) for
-      high-fanout states, each state's span padded to a row boundary.
+      row gather here (the only big-table gather in the frame loop).
+    * `over_packed [Ro, Gc*5]` — emitting-arc OVERFLOW (non-self arcs
+      beyond the first G) for high-fanout states, spans padded to row
+      boundaries.  Gc = csr_group may exceed G: wide rows fetch the
+      high-fanout tail in fewer gathers.
+    * `eps_packed [Re, Ge*5]` — all epsilon arcs, Ge = eps_group.
     * `state_packed [S, 4]` i32: (eps_row_lo, n_eps, emit_over_lo, n_emit)
-      with *_lo in CSR row units and counts in raw arcs (n_emit excludes
-      the extracted self-loop).
+      with *_lo in rows of the respective sub-table and counts in raw
+      arcs (n_emit excludes the extracted self-loop).  Only touched at
+      init and on the dynamic-closure fallback path: steady-state frames
+      read epsilon metadata pre-joined into the arcs.
 
-    Each stored arc is 4 i32 lanes: (next, olabel, weight_bits(f32), pdf).
+    Each stored arc is 5 i32 lanes:
+      (next, olabel, weight_bits(f32), pdf, dest_eps_meta)
+    with dest_eps_meta = state_packed[next][0] << 9 | state_packed[next][1]
+    (the destination's eps CSR row and arc count packed into one lane),
+    letting the epsilon closure expand a freshly selected beam without
+    gathering state_packed.  When a graph's epsilon geometry doesn't fit
+    the packing (n_eps >= 512 or >= 2^22 eps rows — pathological for
+    HCLGs), eps_meta_ok is False and the closure falls back to the
+    state_packed gather.
     Padding arcs are zeros — harmless because expansion masks candidates
     beyond each span's true arc count.
     """
@@ -137,18 +159,28 @@ class DeviceFst:
     start: jnp.ndarray  # i32 scalar
     final: jnp.ndarray  # f32 [S]
     state_packed: jnp.ndarray  # i32 [S, 4]
-    arc_packed: jnp.ndarray  # i32 [R, group*4]
-    emit_block: jnp.ndarray  # i32 [S, group*4 + 8] (arcs ++ state ++ self)
+    over_packed: jnp.ndarray  # i32 [Ro, csr_group*5]
+    eps_packed: jnp.ndarray  # i32 [Re, eps_group*5]
+    emit_block: jnp.ndarray  # i32 [S, group*5 + 8] (arcs ++ state ++ self)
     eps_depth: Optional[int]  # static: longest eps chain, None if unbounded
-    group: int  # arcs per gather row
+    group: int  # arcs per per-token block row
+    csr_group: int  # arcs per overflow CSR gather row (>= group typically)
+    eps_group: int  # arcs per epsilon CSR gather row
+    eps_meta_ok: bool  # static: dest eps metadata packs into one lane
     max_emit_fanout: int  # static: max non-self emitting arcs of any state
+
+    ARC_LANES = 5
 
     @classmethod
     def build(cls, fst: FlatFst, tid2pdf: np.ndarray, group: int = 4,
-              eps_depth_cap: Optional[int] = None) -> "DeviceFst":
+              eps_depth_cap: Optional[int] = None,
+              csr_group: Optional[int] = None,
+              eps_group: Optional[int] = None) -> "DeviceFst":
         """eps_depth_cap: caller-guaranteed closure round bound (e.g. 1
         after graph.transform.close_epsilons) — the syntactic chain depth
         measured here stays larger because closure keeps original arcs."""
+        gc = csr_group or group
+        ge = eps_group or group
         s = fst.num_states
         offsets = fst.offsets.astype(np.int64)
         n_all = np.diff(offsets)
@@ -173,10 +205,6 @@ class DeviceFst:
                            tid2pdf[np.minimum(fst.arc_ilabel,
                                               tid2pdf.size - 1)]
                            ).astype(np.int32)
-        packed = np.stack([
-            fst.arc_next, fst.arc_olabel,
-            fst.arc_weight.view(np.int32), arc_pdf
-        ], axis=1).astype(np.int32)
 
         # Extract each state's FIRST emitting self-loop into dedicated
         # lanes; any further self-loops stay ordinary arcs.
@@ -186,22 +214,41 @@ class DeviceFst:
         self_idx = np.flatnonzero(is_self)[first_pos]
         extracted = np.zeros(fst.num_arcs, bool)
         extracted[self_idx] = True
-        self_arc = np.zeros((s, 4), np.int32)
-        self_arc[self_states, 0] = 1  # has
-        self_arc[self_states, 1:] = packed[self_idx, 1:]
         keep = ~is_eps & ~extracted  # remaining emitting arcs
         n_emit = np.bincount(state_of_arc[keep],
                              minlength=s).astype(np.int64)
 
-        # CSR layout: per state [eps rows | emit-overflow rows], spans
-        # padded to row boundaries.
+        # Sub-table CSR layouts: epsilon arcs and emitting overflow (arcs
+        # beyond the first-G block) each get their OWN flat table, spans
+        # padded to row boundaries.  Keeping these tables small (only
+        # word-end states have epsilons, only high-fanout states overflow)
+        # keeps their gathers in the measured fast regime.
         n_over = np.maximum(n_emit - group, 0)
-        eps_rows = -(-n_eps // group)
-        over_rows = -(-n_over // group)
-        row_off = np.concatenate([[0], np.cumsum(eps_rows + over_rows)])
-        eps_row_lo = row_off[:-1]
-        emit_over_lo = row_off[:-1] + eps_rows
-        n_rows = max(int(row_off[-1]), 1)
+        eps_rows = -(-n_eps // ge)
+        over_rows = -(-n_over // gc)
+        eps_row_lo = np.concatenate([[0], np.cumsum(eps_rows)])[:-1]
+        emit_over_lo = np.concatenate([[0], np.cumsum(over_rows)])[:-1]
+        n_eps_rows = max(int(eps_rows.sum()), 1)
+        n_over_rows = max(int(over_rows.sum()), 1)
+
+        # Pre-join destination epsilon metadata into every arc record,
+        # packed into ONE lane: eps_row_lo << 9 | n_eps.
+        eps_meta_ok = bool(n_eps.max(initial=0) < 512
+                           and eps_rows.sum() < 2 ** 22)
+        if eps_meta_ok:
+            dst_meta = (eps_row_lo[fst.arc_next] << 9
+                        | n_eps[fst.arc_next]).astype(np.int32)
+        else:
+            dst_meta = np.zeros(fst.num_arcs, np.int32)
+        packed = np.stack([
+            fst.arc_next, fst.arc_olabel,
+            fst.arc_weight.view(np.int32), arc_pdf,
+            dst_meta,
+        ], axis=1).astype(np.int32)
+        lanes = packed.shape[1]
+        self_arc = np.zeros((s, 4), np.int32)
+        self_arc[self_states, 0] = 1  # has
+        self_arc[self_states, 1:] = packed[self_idx, 1:4]
 
         rank = np.arange(fst.num_arcs) - np.repeat(offsets[:-1], n_all)
         # rank among REMAINING emitting arcs of the state (gaps left by the
@@ -211,12 +258,13 @@ class DeviceFst:
         emit_rank = cum - 1 - before[state_of_arc]
         in_block = keep & (emit_rank < group)
         in_over = keep & (emit_rank >= group)
-        dest_eps = eps_row_lo[state_of_arc] * group + rank
-        dest_over = emit_over_lo[state_of_arc] * group + emit_rank - group
-        flat = np.zeros((n_rows * group, 4), np.int32)
-        flat[dest_eps[is_eps]] = packed[is_eps]
-        flat[dest_over[in_over]] = packed[in_over]
-        block = np.zeros((s * group, 4), np.int32)
+        dest_eps = eps_row_lo[state_of_arc] * ge + rank
+        dest_over = emit_over_lo[state_of_arc] * gc + emit_rank - group
+        eps_flat = np.zeros((n_eps_rows * ge, lanes), np.int32)
+        eps_flat[dest_eps[is_eps]] = packed[is_eps]
+        over_flat = np.zeros((n_over_rows * gc, lanes), np.int32)
+        over_flat[dest_over[in_over]] = packed[in_over]
+        block = np.zeros((s * group, lanes), np.int32)
         block[state_of_arc[in_block] * group
               + emit_rank[in_block]] = packed[in_block]
 
@@ -227,12 +275,18 @@ class DeviceFst:
             start=jnp.int32(fst.start),
             final=jnp.asarray(fst.final),
             state_packed=jnp.asarray(state_packed),
-            arc_packed=jnp.asarray(flat.reshape(n_rows, group * 4)),
+            over_packed=jnp.asarray(over_flat.reshape(n_over_rows,
+                                                      gc * lanes)),
+            eps_packed=jnp.asarray(eps_flat.reshape(n_eps_rows,
+                                                    ge * lanes)),
             emit_block=jnp.asarray(np.concatenate(
-                [block.reshape(s, group * 4), state_packed, self_arc],
+                [block.reshape(s, group * lanes), state_packed, self_arc],
                 axis=1)),
             eps_depth=cls._capped_depth(_eps_depth(fst), eps_depth_cap),
             group=group,
+            csr_group=gc,
+            eps_group=ge,
+            eps_meta_ok=eps_meta_ok,
             max_emit_fanout=int(n_emit.max(initial=0)),
         )
 
@@ -246,10 +300,6 @@ class DeviceFst:
     @property
     def num_states(self) -> int:
         return self.state_packed.shape[0]
-
-    @property
-    def num_arc_rows(self) -> int:
-        return self.arc_packed.shape[0]
 
 
 @functools.partial(

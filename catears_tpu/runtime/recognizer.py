@@ -77,10 +77,11 @@ class Utterance:
     """One streaming decode session.
 
     Two execution paths with identical semantics:
-      - fused (default): fbank+AM+decode in one device program per
-        20-frame chunk (runtime/streaming.py) — the low-latency path
+      - fused (default): fbank+(CMVN)+AM+decode in one device program per
+        20-frame chunk (runtime/streaming.py) — the low-latency path;
+        online CMVN runs on device as a carried 600-frame ring buffer
       - componentized: FbankStream -> CMVNStream -> AMStream -> Decoder,
-        used when online CMVN is configured or fused=False
+        used when fused=False
     """
 
     def __init__(self, recognizer: Recognizer, fmt: WaveFormat,
@@ -88,21 +89,23 @@ class Utterance:
         self.recognizer = recognizer
         self.wave_reader = WaveReader()
         self.wave_reader.set_format(fmt)
-        self.cmvn_stream = (CMVNStream(recognizer.cmvn_stats)
-                            if recognizer.cmvn_stats is not None else None)
+        self.cmvn_stream = None
         self.decoder = Decoder(
             recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
             delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
             chunk_frames=PARTIAL_HYP_INTERVAL,
             arc_group=recognizer.arc_group)
         self.session = None
-        if fused and self.cmvn_stream is None:
+        if fused:
             from catears_tpu.runtime.streaming import StreamingSession
             self.session = StreamingSession(
                 recognizer.am, recognizer.fst, recognizer.delta_lm,
                 self.decoder.cfg, self.decoder.dfst, self.decoder.dlm,
-                chunk_frames=PARTIAL_HYP_INTERVAL)
+                chunk_frames=PARTIAL_HYP_INTERVAL,
+                cmvn_stats=recognizer.cmvn_stats)
         else:
+            if recognizer.cmvn_stats is not None:
+                self.cmvn_stream = CMVNStream(recognizer.cmvn_stats)
             self.fbank_stream = FbankStream(recognizer.fbank)
             self.am_stream = AMStream(recognizer.am)
         self.hyp = ""
@@ -173,6 +176,7 @@ class Utterance:
                 "consumed_frames": s._consumed_frames,
                 "ctx": None if s._ctx is None else np.asarray(s._ctx),
                 "beam": tuple(np.asarray(x) for x in s.beam),
+                "cm": tuple(np.asarray(x) for x in s._cm),
                 "traces": [(t.prev_slot.copy(), t.words.copy())
                            for t in s._host_traces],
                 "num_frames_decoded": s.num_frames_decoded,
@@ -202,6 +206,8 @@ class Utterance:
             s._consumed_frames = ss["consumed_frames"]
             s._ctx = (None if ss["ctx"] is None else jnp.asarray(ss["ctx"]))
             s.beam = BeamState(*(jnp.asarray(x) for x in ss["beam"]))
+            if "cm" in ss:
+                s._cm = tuple(jnp.asarray(x) for x in ss["cm"])
             s._host_traces = [HostTrace(p, w) for p, w in ss["traces"]]
             s._dev_traces = []
             s.num_frames_decoded = ss["num_frames_decoded"]

@@ -13,8 +13,12 @@ AM emission lag of right_context frames, same decoder) — enforced by
 equivalence tests in tests/test_streaming.py.  End-of-stream and
 shorter-than-one-chunk utterances flush through the host path.
 
-Used by Utterance automatically when online CMVN is not configured (CMVN's
-float64 host accumulation keeps the componentized path).
+Online CMVN runs INSIDE the fused program when configured: the 600-frame
+sliding window is a carried device ring buffer, the windowed sum is
+recomputed from the ring every chunk (so no float drift accumulates across
+a long stream), and the global-stats smoothing follows the reference
+formula (reference src/cmvn.cc:70-98).  The componentized float64 host
+path remains for the unfused session and the end-of-stream tail.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from catears_tpu.am.model import AcousticModel
 from catears_tpu.decode.beam import BeamConfig, decode_chunk, init_beam_batch
 from catears_tpu.decode.hyp import HostTrace, best_path
 from catears_tpu.decode.oracle import Hypothesis
+from catears_tpu.frontend.cmvn import CMVN_GLOBAL_FRAMES, CMVN_WINDOW, FEAT_DIM
 from catears_tpu.frontend.fbank import (
     FRAME_LENGTH,
     FRAME_SHIFT,
@@ -49,32 +54,67 @@ def _am_apply(nnet_def, quantized, params, log_prior, window):
     return nnet_forward(nnet_def, params, window) - log_prior
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _device_cmvn_chunk(gsum, gcount, ring, count, feats):
+    """Online CMVN over one chunk with a carried device ring buffer.
+
+    ring [600, 40] holds the last <= 600 raw frames (zeros before they
+    exist — they drop out of the sums naturally); count is total frames
+    seen.  The windowed sum is base (full ring reduce, fresh each chunk)
+    plus prefix sums of the incoming minus outgoing frames, matching
+    OnlineCMVN.apply exactly up to f32 accumulation.
+    """
+    f = feats.shape[0]
+    idx = (count + jnp.arange(f, dtype=jnp.int32)) % CMVN_WINDOW
+    outgoing = ring[idx]  # frames leaving the window (zeros if unfilled)
+    base = jnp.sum(ring, axis=0)
+    win = base + jnp.cumsum(feats, 0) - jnp.cumsum(outgoing, 0)
+    counts = jnp.minimum(count + 1 + jnp.arange(f, dtype=jnp.int32),
+                         CMVN_WINDOW).astype(jnp.float32)
+    from_global = jnp.minimum(CMVN_WINDOW - counts,
+                              float(CMVN_GLOBAL_FRAMES))
+    scalar = (from_global / gcount)[:, None]
+    mean = (win + scalar * gsum[None, :]) / (counts[:, None]
+                                             + scalar * gcount)
+    ring = ring.at[idx].set(feats)
+    return feats - mean, ring, count + f
+
+
+def _maybe_cmvn(cmvn: bool, feats, cm):
+    if not cmvn:
+        return feats, cm
+    gsum, gcount, ring, count = cm
+    out, ring, count = _device_cmvn_chunk(gsum, gcount, ring, count, feats)
+    return out, (gsum, gcount, ring, count)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _fused_first(nnet_def, cfg: BeamConfig, has_lm: bool, quantized: bool,
-                 n_frames: int, left: int, ctx_len: int,
-                 params, log_prior, dfst, dlm, beam, samples):
-    """First chunk: fbank -> left replicate pad -> AM -> decode."""
+                 cmvn: bool, n_frames: int, left: int, ctx_len: int,
+                 params, log_prior, dfst, dlm, beam, cm, samples):
+    """First chunk: fbank -> (CMVN) -> left replicate pad -> AM -> decode."""
     feats = fbank_from_wave(samples, n_frames)  # [F + R, 40]
+    feats, cm = _maybe_cmvn(cmvn, feats, cm)
     window = jnp.concatenate([jnp.repeat(feats[:1], left, axis=0), feats])
     logp = _am_apply(nnet_def, quantized, params, log_prior, window)
     valid = jnp.ones((logp.shape[0], 1), bool)
     beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam,
                                logp[:, None, :], valid)
-    return window[-ctx_len:], beam, trace
+    return window[-ctx_len:], beam, trace, cm
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_steady(nnet_def, cfg: BeamConfig, has_lm: bool, quantized: bool,
-                  n_frames: int, params, log_prior, dfst, dlm, ctx, beam,
-                  samples):
-    """Steady chunk: fbank -> concat carried context -> AM -> decode."""
+                  cmvn: bool, n_frames: int, params, log_prior, dfst, dlm,
+                  ctx, beam, cm, samples):
+    """Steady chunk: fbank -> (CMVN) -> carried context -> AM -> decode."""
     feats = fbank_from_wave(samples, n_frames)  # [F, 40]
+    feats, cm = _maybe_cmvn(cmvn, feats, cm)
     window = jnp.concatenate([ctx, feats])
     logp = _am_apply(nnet_def, quantized, params, log_prior, window)
     valid = jnp.ones((logp.shape[0], 1), bool)
     beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam,
                                logp[:, None, :], valid)
-    return window[-ctx.shape[0]:], beam, trace
+    return window[-ctx.shape[0]:], beam, trace, cm
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -88,7 +128,8 @@ class StreamingSession:
     def __init__(self, am: AcousticModel, fst: FlatFst,
                  delta_lm: Optional[DeltaLmFst], cfg: BeamConfig,
                  dfst: DeviceFst, dlm: Optional[DeviceLm],
-                 chunk_frames: int = 20):
+                 chunk_frames: int = 20,
+                 cmvn_stats: Optional[np.ndarray] = None):
         self.am = am
         self.fst = fst
         self.delta_lm = delta_lm
@@ -99,6 +140,18 @@ class StreamingSession:
         self.f = chunk_frames
         self.l = am.left_context
         self.r = am.right_context
+        self.cmvn = cmvn_stats is not None
+        if self.cmvn:
+            stats = np.asarray(cmvn_stats, np.float64)
+            self._cm = (jnp.asarray(stats[:FEAT_DIM], jnp.float32),
+                        jnp.float32(stats[FEAT_DIM]),
+                        jnp.zeros((CMVN_WINDOW, FEAT_DIM), jnp.float32),
+                        jnp.int32(0))
+        else:
+            self._cm = (jnp.zeros((FEAT_DIM,), jnp.float32),
+                        jnp.float32(1.0),
+                        jnp.zeros((1, FEAT_DIM), jnp.float32),
+                        jnp.int32(0))
         self._samples = np.zeros(0, np.float32)
         self._consumed_frames = 0  # feats computed by fused steps
         self._ctx = None  # device [L+R, 40] after the first step
@@ -127,15 +180,16 @@ class StreamingSession:
         samples = jnp.asarray(self._samples[start:end])
         ctx_len = self.l + self.r
         if self._ctx is None:
-            self._ctx, self.beam, trace = _fused_first(
+            self._ctx, self.beam, trace, self._cm = _fused_first(
                 self.am.nnet_def, self.cfg, self.has_lm, self.am.quantized,
-                n_frames, self.l, ctx_len, self.am.params, self.am.log_prior,
-                self.dfst, self.dlm, self.beam, samples)
+                self.cmvn, n_frames, self.l, ctx_len, self.am.params,
+                self.am.log_prior, self.dfst, self.dlm, self.beam, self._cm,
+                samples)
         else:
-            self._ctx, self.beam, trace = _fused_steady(
+            self._ctx, self.beam, trace, self._cm = _fused_steady(
                 self.am.nnet_def, self.cfg, self.has_lm, self.am.quantized,
-                n_frames, self.am.params, self.am.log_prior, self.dfst,
-                self.dlm, self._ctx, self.beam, samples)
+                self.cmvn, n_frames, self.am.params, self.am.log_prior,
+                self.dfst, self.dlm, self._ctx, self.beam, self._cm, samples)
         self._consumed_frames += n_frames
         self.num_frames_decoded += self.f
         log.count("frames_decoded", self.f)
@@ -151,6 +205,25 @@ class StreamingSession:
                >= self._consumed_frames + self._next_window_frames()):
             self._run_step()
 
+    def _host_cmvn_tail(self, feats: np.ndarray) -> np.ndarray:
+        """Continue CMVN on the host from the carried device ring state."""
+        gsum = np.asarray(self._cm[0], np.float64)
+        gcount = float(self._cm[1])
+        ring = np.asarray(self._cm[2], np.float64)
+        count = int(self._cm[3])
+        out = np.empty(feats.shape, np.float32)
+        base = ring.sum(axis=0)
+        for i, row in enumerate(feats.astype(np.float64)):
+            j = (count + i) % CMVN_WINDOW
+            base = base - ring[j] + row
+            ring[j] = row
+            c = min(count + i + 1, CMVN_WINDOW)
+            fg = min(CMVN_WINDOW - c, CMVN_GLOBAL_FRAMES)
+            scalar = fg / gcount
+            mean = (base + scalar * gsum) / (c + scalar * gcount)
+            out[i] = row - mean
+        return out
+
     def end_of_stream(self) -> None:
         """Flush remaining feats through the host AM path (exact padding)."""
         if self._flushed:
@@ -164,6 +237,8 @@ class StreamingSession:
                 return
             feats = np.asarray(fbank_from_wave(jnp.asarray(self._samples),
                                                total))
+            if self.cmvn:
+                feats = self._host_cmvn_tail(feats)
             logp = self.am.forward(feats)
         else:
             ctx = np.asarray(self._ctx)  # [L+R, 40]
@@ -171,6 +246,8 @@ class StreamingSession:
                 start = self._consumed_frames * FRAME_SHIFT
                 feats_extra = np.asarray(fbank_from_wave(
                     jnp.asarray(self._samples[start:]), t_extra))
+                if self.cmvn:
+                    feats_extra = self._host_cmvn_tail(feats_extra)
                 window = np.concatenate([ctx, feats_extra])
             else:
                 window = ctx

@@ -86,7 +86,7 @@ def emit_only(b, lp):
 
 def expand_only(b, lp):
     def one(bb, l):
-        out = B._expand(cfg, dfst, bb, cfg.expand_size, True)
+        out = B._expand(cfg, dfst, bb, cfg.expand_size, True, False, False)
         ac = -cfg.am_scale * B._acoustic_lookup(l, out[8])
         cost = out[2] + out[7] + ac
         s = cost.sum() + out[5].sum()
@@ -121,7 +121,7 @@ def select_only(b, lp):
         idx = jnp.arange(e, dtype=jnp.int32)
         states = idx % jnp.int32(50021)
         costs = l[idx % am.num_pdfs]
-        s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, idx, idx)
+        s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, [idx, idx])
         return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()),
                            bb.bp, bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)

@@ -440,3 +440,33 @@ class TestTrieGraph:
                         delta_lm=big.delta_lm())
         assert d.words == o.words
         assert abs(d.weight - o.weight) < 1e-2
+
+    def test_auto_capacity_with_delta_lm_on_big_graph(self):
+        """safe_config + delta-LM: the (state, lm)-pair worst case is
+        K * max_rows (astronomical); auto capacity must stay within the
+        lm_dup_factor envelope AND the planted decode must not overflow
+        at that capacity (VERDICT r2: distinct_states=False explosion).
+        """
+        from catears_tpu.decode.decoder import decode_batch, safe_config
+        from catears_tpu.graph.device import expansion_bounds
+        from catears_tpu.graph.transform import close_epsilons
+        from catears_tpu.tools.biggraph import make_big_lm, plant_logp
+        rng, g = self._make(num_words=400, num_phones=40, bigram_states=120)
+        big = make_big_lm(np.random.RandomState(3), num_words=g.num_words)
+        closed, ok = close_epsilons(g.fst)
+        assert ok
+        base = BeamConfig(beam_size=256, expand_size=4, eps_expand_size=4,
+                          max_eps_iters=4, beam=1e9, am_scale=0.1)
+        cfg = safe_config(closed, 2, base, has_lm=True, csr_group=8)
+        eb_d, epsb_d = expansion_bounds(closed, 2, 256,
+                                        distinct_states=True, csr_group=8)
+        eb_w, _ = expansion_bounds(closed, 2, 256, distinct_states=False,
+                                   csr_group=8)
+        assert cfg.expand_size <= 4 * eb_d < eb_w  # no K*max_rows blowup
+        logp, words = plant_logp(rng, g, 1, 100)
+        hyps = decode_batch(g.fst, g.tid2pdf, logp, config=cfg,
+                            delta_lm=big.delta_lm(), arc_group=2,
+                            csr_group=8)
+        # no BeamCapacityError raised = no overflow at auto capacity; the
+        # decode still tracks the planted paths
+        assert hyps[0].words[:len(words[0])] == words[0]

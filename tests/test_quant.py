@@ -94,6 +94,46 @@ class TestQuantizedAM:
                       - np.exp(ref + np.log(1 / 24))).max() < 0.05
 
 
+class TestOnChipMosaic:
+    def test_matmul_s8_compiles_on_tpu(self):
+        """Exercise the REAL Mosaic compile of the Pallas s8 kernel.
+
+        The suite forces the CPU backend (conftest), so this runs in a
+        subprocess against the machine's default backend and is skipped
+        when no TPU is attached.  Asserts the same 1%-of-range criterion
+        the interpret-mode tests use (reference test/gemm_test.cc:120).
+        """
+        import subprocess
+        import sys
+
+        code = r"""
+import jax, numpy as np, jax.numpy as jnp, sys
+if jax.default_backend() not in ("tpu", "axon"):
+    print("SKIP:no-tpu"); sys.exit(0)
+jax.config.update("jax_compilation_cache_dir", "/tmp/catears_jax_cache")
+from catears_tpu.am.quant import qmatmul, quantize
+rng = np.random.RandomState(0)
+a = rng.randn(100, 200).astype(np.float32)
+b = rng.randn(200, 300).astype(np.float32) * 2 + 0.5
+ref = a @ b
+got = np.asarray(qmatmul(quantize(jnp.asarray(a)), quantize(jnp.asarray(b)),
+                         interpret=False))
+err = float(np.abs(ref - got).max() / (ref.max() - ref.min()))
+assert err < 0.01, err
+print(f"OK:{err:.4f}")
+"""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=600,
+                              env=env, cwd=os.path.dirname(
+                                  os.path.dirname(__file__)))
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        if "SKIP:no-tpu" in proc.stdout:
+            pytest.skip("no TPU attached")
+        assert "OK:" in proc.stdout, proc.stdout
+
+
 class TestCalibratedQuant:
     def test_static_matches_dynamic_semantics(self):
         """quantize_static(x, min(x), max(x)) == quantize(x) exactly."""
@@ -122,6 +162,55 @@ class TestCalibratedQuant:
         ref = np.asarray(nnet_forward(nnet_def, params, x))
         got = np.asarray(nnet_forward_quant(nnet_def, qparams, x))
         assert np.abs(np.exp(got) - np.exp(ref)).max() < 0.05
+
+    def test_multi_utterance_calibration(self):
+        """Ranges cover the min/max across ALL calibration utterances."""
+        from catears_tpu.am.quant import calibrate_ranges
+        rng = np.random.RandomState(7)
+        spec = make_toy_nnet(rng, hidden=32, num_pdfs=24)
+        nnet_def, params = build_nnet(spec)
+        q1 = quantize_params(nnet_def, params)
+        q2 = quantize_params(nnet_def, params)
+        quiet = rng.randn(30, 40).astype(np.float32) * 0.5
+        loud = rng.randn(30, 40).astype(np.float32) * 4.0
+        calibrate_ranges(nnet_def, params, q1, [quiet, loud])
+        calibrate_ranges(nnet_def, params, q2, quiet)
+        for p1, p2 in zip(q1, q2):
+            if isinstance(p1, dict) and "rng" in p1:
+                assert p1["rng"][0] <= p2["rng"][0]
+                assert p1["rng"][1] >= p2["rng"][1]
+
+    def test_out_of_range_saturation_and_guard(self):
+        """Held-out activations far outside the calibrated range: the
+        unguarded static path saturates (bounded error documented by
+        calibration_coverage), the guarded path falls back to dynamic
+        quantization and stays within the 1%-of-range criterion."""
+        from catears_tpu.am.quant import (
+            calibrate_ranges,
+            calibration_coverage,
+        )
+        rng = np.random.RandomState(8)
+        spec = make_toy_nnet(rng, hidden=64, num_pdfs=32)
+        nnet_def, params = build_nnet(spec)
+        calib = rng.randn(50, 40).astype(np.float32)  # unit-scale data
+        hot = jnp.asarray(rng.randn(20, 40).astype(np.float32) * 5)  # 5x
+
+        q_guard = quantize_params(nnet_def, params)
+        calibrate_ranges(nnet_def, params, q_guard, calib, guard=True)
+        assert any("grng" in p for p in q_guard if isinstance(p, dict))
+        cov = calibration_coverage(nnet_def, params, q_guard, hot)
+        assert cov[0] < 1.0  # the held-out data really is out of range
+        ref = np.asarray(nnet_forward(nnet_def, params, hot))
+        got = np.asarray(nnet_forward_quant(nnet_def, q_guard, hot))
+        assert np.abs(np.exp(got) - np.exp(ref)).max() < 0.05
+
+        # Unguarded saturating path on the same data: error may exceed the
+        # guarded path's (document, don't assert tightness) but the result
+        # must stay finite and shaped.
+        q_sat = quantize_params(nnet_def, params)
+        calibrate_ranges(nnet_def, params, q_sat, calib, guard=False)
+        sat = np.asarray(nnet_forward_quant(nnet_def, q_sat, hot))
+        assert np.isfinite(sat).all()
 
     def test_calibrate_via_model(self):
         from catears_tpu.am.model import AcousticModel

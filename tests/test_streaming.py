@@ -90,6 +90,67 @@ class TestFusedStreaming:
         assert b.hyp == ref.hyp
 
 
+class TestFusedCMVN:
+    """Online CMVN inside the fused device program (VERDICT r2 item 7).
+
+    The fused session carries the 600-frame CMVN ring on device in f32;
+    the componentized path accumulates in f64 — transcripts must agree
+    (feature deltas are ~1e-5 of the feature scale, far below any
+    decision boundary on the toy model).
+    """
+
+    @pytest.fixture(scope="class")
+    def cmvn_recognizer(self, tmp_path_factory, data_dir):
+        import shutil
+        out = tmp_path_factory.mktemp("stream_cmvn_model")
+        write_toy_model(str(out), num_words=5, hidden=32, num_pdfs=24)
+        shutil.copy(os.path.join(data_dir, "cmvn_stats.bin"),
+                    os.path.join(str(out), "cmvn_stats.bin"))
+        with open(os.path.join(str(out), "toy.conf"), "a") as fd:
+            fd.write("cmvn_stats = cmvn_stats.bin\n")
+        return Recognizer(os.path.join(str(out), "toy.conf"),
+                          beam_config=TEST_BEAM)
+
+    @pytest.mark.parametrize("wav", ["en-us-hello.wav", "en-us-cat.wav"])
+    def test_fused_cmvn_equals_componentized(self, cmvn_recognizer,
+                                             data_dir, wav):
+        path = os.path.join(data_dir, wav)
+        from catears_tpu.io.wav import WaveFormat
+        utt = Utterance(cmvn_recognizer, WaveFormat(1, 16000, 16),
+                        fused=True)
+        assert utt.session is not None and utt.session.cmvn  # fused + CMVN
+        h_fused = decode_with(cmvn_recognizer, path, fused=True)
+        h_comp = decode_with(cmvn_recognizer, path, fused=False)
+        assert h_fused == h_comp
+
+    def test_fused_cmvn_features_match_host(self, cmvn_recognizer, data_dir):
+        """Device ring-buffer CMVN == float64 OnlineCMVN to ~1e-4."""
+        import jax.numpy as jnp
+        from catears_tpu.frontend.cmvn import OnlineCMVN
+        from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
+        from catears_tpu.io.wav import read_16k_pcm
+        from catears_tpu.runtime.streaming import _device_cmvn_chunk
+
+        samples = read_16k_pcm(os.path.join(data_dir, "en-us-hello.wav"))
+        t = num_frames(samples.shape[0])
+        feats = np.asarray(fbank_from_wave(jnp.asarray(samples), t))
+        ref = OnlineCMVN(cmvn_recognizer.cmvn_stats).apply(feats)
+
+        stats = np.asarray(cmvn_recognizer.cmvn_stats, np.float64)
+        gsum = jnp.asarray(stats[:40], jnp.float32)
+        gcount = jnp.float32(stats[40])
+        ring = jnp.zeros((600, 40), jnp.float32)
+        count = jnp.int32(0)
+        outs = []
+        for off in range(0, t, 20):  # 20-frame chunks like the session
+            chunk = jnp.asarray(feats[off:off + 20])
+            out, ring, count = _device_cmvn_chunk(gsum, gcount, ring,
+                                                  count, chunk)
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs)
+        assert np.abs(got - ref).max() < 1e-3  # f32 ring vs f64 host
+
+
 class TestEdgeCases:
     def test_empty_audio(self, recognizer):
         """EOS with zero samples: empty transcript, no crash."""
