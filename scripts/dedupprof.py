@@ -5,6 +5,14 @@ keeping the min cost, then keep the K best by cost (exact Viterbi
 semantics, ties by input position).  At the 50k-trie bench shapes that is
 two 3-operand lax.sorts over N ~= 53k candidates per frame per utterance.
 
+Measured on TPU v5e at bench shapes (batch 16, N=53248, K=4096):
+  sort2x3 3.41 ms   sort2x2 3.32 ms   scatter 52.1 ms   sort_u64 3.87 ms
+Conclusions: scatter-based dedup is 15x worse (TPU scatters serialize);
+u64 packed keys LOSE ~16% (64-bit lanes are emulated as u32 pairs, so the
+packing saves no sort bandwidth and adds pack/unpack work).  sort2x2 — the
+production _select_best — is the winner; improvements must come from
+shrinking N or from a fused Pallas selection, not from key packing.
+
 Variants (all EXACT):
   sort2x3   current: sort (state, cost, iota) 2-key + sort (eff, state, iota)
   sort2x2   trimmed: same but the 2nd sort carries only (eff, iota); the
@@ -32,6 +40,9 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/catears_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# u64 packed-key variant needs 64-bit lanes (profiler-only; all dtypes in
+# this script are explicit, so nothing else changes).
+jax.config.update("jax_enable_x64", True)
 
 BATCH = int(os.environ.get("PROF_BATCH", 16))
 N = int(os.environ.get("PROF_N", 53248))
@@ -107,6 +118,33 @@ def v_scatter(states, costs, pa, pb, tables):
             (ctab, itab))
 
 
+def v_sort_u64(states, costs, pa, pb, tables):
+    """Packed-key variant: (state<<32 | cost_bits) u64 + iota -> 2-operand
+    dedup sort; (eff<<32 | iota) -> SINGLE-operand prune sort.
+
+    Exactness: state < 2^31 and sortable-f32 cost bits preserve order, so
+    the packed u64 orders identically to the 2-key sort; iota in the prune
+    key's low bits reproduces stable tie-breaking by position."""
+    iota = jnp.arange(N, dtype=jnp.int32)
+    key = (states.astype(jnp.uint64) << 32) | sortable(costs)
+    s_key, s_iota = jax.lax.sort((key, iota), num_keys=1)
+    s_states = (s_key >> 32).astype(jnp.int32)
+    first = jnp.ones_like(s_states, jnp.bool_)
+    first = first.at[1:].set(s_states[1:] != s_states[:-1])
+    eff_bits = jnp.where(first & (s_states < SENTINEL), s_key & 0xFFFFFFFF,
+                         jnp.uint64(INF_KEY))
+    # Tie-break by POSITION in the dedup-sorted array (== what the stable
+    # 2-operand sort does), not by original iota: bit-identical selection.
+    key2 = (eff_bits << 32) | jnp.arange(N, dtype=jnp.uint32)
+    o_key = jax.lax.sort((key2,), num_keys=1)[0]
+    keep = s_iota[(o_key & 0xFFFFFFFF).astype(jnp.int32)[:K]]
+    eff32 = (o_key[:K] >> 32).astype(jnp.uint32)
+    back = jnp.where(eff32 >> 31 != 0, eff32 & 0x7FFFFFFF, ~eff32)
+    o_cost = jax.lax.bitcast_convert_type(back, jnp.float32)
+    payload = jnp.stack([states, pa, pb], 1)[keep]
+    return (payload[:, 0], o_cost, payload[:, 1], payload[:, 2]), tables
+
+
 def timeit(name, variant, with_tables):
     if with_tables:
         tables0 = (jnp.full((BATCH, S + 1), INF_KEY, jnp.uint32),
@@ -150,19 +188,26 @@ def check_equiv():
              jnp.zeros((BATCH, 1), jnp.int32))
     r1, _ = jax.vmap(v_sort2x3)(states0, costs0, pa0, pb0, small)
     r2, _ = jax.vmap(v_sort2x2)(states0, costs0, pa0, pb0, small)
-    r3, tabs_after = jax.vmap(v_scatter)(states0, costs0, pa0, pb0, tabs)
+    do_scatter = os.environ.get("PROF_SCATTER") == "1"
+    if do_scatter:
+        r3, tabs_after = jax.vmap(v_scatter)(states0, costs0, pa0, pb0, tabs)
+    r4, _ = jax.vmap(v_sort_u64)(states0, costs0, pa0, pb0, small)
     for b in range(BATCH):
         def norm(r):
             s, c, a, pb_ = (np.asarray(x[b]) for x in r)
             m = np.isfinite(c)
             return sorted(zip(s[m].tolist(), c[m].tolist(), a[m].tolist(),
                               pb_[m].tolist()))
-        n1, n2, n3 = norm(r1), norm(r2), norm(r3)
+        n1, n2, n4 = norm(r1), norm(r2), norm(r4)
         assert n1 == n2, f"sort2x2 mismatch batch {b}"
-        assert n1 == n3, f"scatter mismatch batch {b}"
+        assert n1 == n4, f"sort_u64 mismatch batch {b}"
+        if do_scatter:
+            assert n1 == norm(r3), f"scatter mismatch batch {b}"
     # tables must be fully restored
-    assert bool((np.asarray(tabs_after[0]) == np.uint32(0xFF800000)).all())
-    assert bool((np.asarray(tabs_after[1]) == N).all())
+    if do_scatter:
+        assert bool(
+            (np.asarray(tabs_after[0]) == np.uint32(0xFF800000)).all())
+        assert bool((np.asarray(tabs_after[1]) == N).all())
     print("equivalence ok (all variants identical, tables restored)")
 
 
@@ -171,4 +216,6 @@ if __name__ == "__main__":
     check_equiv()
     timeit("sort2x3", v_sort2x3, False)
     timeit("sort2x2", v_sort2x2, False)
-    timeit("scatter", v_scatter, True)
+    if os.environ.get("PROF_SCATTER") == "1":
+        timeit("scatter", v_scatter, True)  # measured 15x worse; opt-in
+    timeit("sort_u64", v_sort_u64, False)

@@ -78,12 +78,15 @@ logp0 = jnp.asarray(rng.randn(BATCH, P).astype(np.float32) - 5.0)
 
 
 def collapse(*arrays):
-    """Reduce arrays to a tiny carry delta so nothing is DCE'd."""
+    """Reduce arrays to a tiny carry delta so nothing is DCE'd.
+
+    Sums WHOLE arrays: a narrow slice here lets XLA narrow the upstream
+    gathers and drop most of the work being measured."""
     tot = jnp.zeros((), jnp.float32)
     for a in arrays:
         x = a.astype(jnp.float32) if a.dtype != jnp.float32 else a
         x = jnp.where(jnp.isfinite(x), x, 0.0)
-        tot = tot + jnp.sum(x[..., :8]) * 1e-6
+        tot = tot + jnp.sum(x) * 1e-6
     return tot
 
 
@@ -118,6 +121,32 @@ def stage_full(beam, logp):
     return collapse(nb.costs, trace.prev_slot.astype(jnp.float32))
 
 
+def stage_eps_only(beam, logp):
+    """Closure in isolation: synthetic emitting output (beam as-is)."""
+    k = cfg.beam_size
+    slots = jnp.arange(k, dtype=jnp.int32)
+    sp = dfst.state_packed[jnp.clip(beam.states, 0, dfst.num_states - 1)]
+    eps_info = ((sp[:, 0] << 9)
+                | jnp.where(beam.states >= 0, sp[:, 1], 0),)
+    nb, prev, words = B._eps_closure_fused(
+        cfg, dfst, None, beam._replace(bp=slots), slots,
+        jnp.zeros((k,), jnp.int32), eps_info, jnp.float32(1e9))
+    return collapse(nb.costs, prev.astype(jnp.float32),
+                    words.astype(jnp.float32))
+
+
+def stage_select_only(beam, logp):
+    """_select_best at emitting-expansion width with synthetic candidates."""
+    e = cfg.expand_size + cfg.beam_size * (dfst.group + 1)
+    iota = jnp.arange(e, dtype=jnp.int32)
+    states = (beam.states[iota % cfg.beam_size] * 7 + iota // 13) % \
+        dfst.num_states
+    costs = beam.costs[iota % cfg.beam_size] + (iota % 97) * 0.01
+    out = B._select_best(cfg, states, None, costs,
+                         [iota % cfg.beam_size, iota % 31])
+    return collapse(*[o.astype(jnp.float32) for o in out])
+
+
 def timeit(name, fn):
     @jax.jit
     def run(beam, logp):
@@ -147,6 +176,10 @@ if __name__ == "__main__":
     stages = os.environ.get("PROF_STAGES", "all")
     if stages == "full":
         timeit("full", stage_full)
+    elif stages == "parts":
+        timeit("eps_only", stage_eps_only)
+        timeit("select_only", stage_select_only)
+        timeit("expand", stage_expand)
     else:
         t1 = timeit("expand", stage_expand)
         t2 = timeit("expand+ac", stage_expand_ac)

@@ -113,25 +113,3 @@ class TestDftBasis:
         p2 = np.abs(ref) ** 2
         np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-3)
 
-
-class TestPallasFbank:
-    def test_matches_xla_path(self, data_dir):
-        """Fused Pallas kernel == the XLA fbank on real audio frames."""
-        import jax.numpy as jnp
-
-        from catears_tpu.frontend.fbank import (
-            Fbank,
-            frame_signal,
-            fbank_from_frames,
-            num_frames,
-        )
-        from catears_tpu.frontend.fbank_pallas import fbank_from_frames_pallas
-        from catears_tpu.io.wav import read_16k_pcm
-
-        wave = read_16k_pcm(os.path.join(data_dir, "en-us-hello.wav"))
-        t = num_frames(wave.size)
-        frames = frame_signal(jnp.asarray(wave), t)
-        ref = np.asarray(fbank_from_frames(frames))
-        got = np.asarray(fbank_from_frames_pallas(frames, interpret=True))
-        assert got.shape == ref.shape
-        np.testing.assert_allclose(got, ref, atol=2e-4)
