@@ -92,14 +92,17 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
                        nnet.left_context, nnet.right_context,
                        chunk_size=50, num_pdfs=num_pdfs,
                        quantized=os.environ.get("BENCH_QUANT") == "1")
-    from catears_tpu.graph.transform import close_epsilons
-    fst, eps_ok = close_epsilons(fst)
+    from catears_tpu.graph.transform import prepare_decode_graph
+    fst, olab2, mode = prepare_decode_graph(fst)
+    print(f"# decode graph mode={mode}: {fst.num_states} states, "
+          f"{fst.num_arcs} arcs", file=sys.stderr)
     csr_default = 8 if kind == "trie" else 0
     dfst = DeviceFst.build(fst, tid2pdf,
                            group=int(os.environ.get("BENCH_GROUP", group)),
                            csr_group=int(os.environ.get("BENCH_CSR_GROUP",
                                                         csr_default)) or None,
-                           eps_depth_cap=1 if eps_ok else None)
+                           eps_depth_cap=1 if mode != "raw" else None,
+                           olabel2=olab2)
     dlm = None
     if os.environ.get("BENCH_LM") == "1":
         from catears_tpu.graph.device import DeviceLm
@@ -112,6 +115,9 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         beam_size=int(os.environ.get("BENCH_BEAM", beam)),
         expand_size=int(os.environ.get("BENCH_EXPAND", expand)),
         eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", eps_expand)),
+        # Delta-LM walk compaction (0 = walk every lane); size from the
+        # lm high-water mark of an uncapped run, like the CSR capacities.
+        lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND", 0)),
         max_eps_iters=3,
         beam=16.0,
     )
@@ -208,7 +214,7 @@ def main():
     hyps = [assemble_words(words[b]) for b in range(batch)]
     hyp0 = hyps[0]
     assert np.isfinite(costs).any(), "beam died"
-    hw = hiwater.max(axis=0)  # (emit_overflow, eps) slots actually needed
+    hw = hiwater.max(axis=0)  # (emit_overflow, eps, lm) slots actually needed
     assert not overflow.any(), (
         f"arc expansion overflowed: needed (emit_over, eps) <= {tuple(hw)}; "
         f"raise BENCH_EXPAND/BENCH_EPS_EXPAND")
@@ -268,12 +274,24 @@ def main_streaming():
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     rng = np.random.RandomState(0)
     with tempfile.TemporaryDirectory() as model_dir:
-        conf = write_toy_model(model_dir, rng=rng, num_words=200, hidden=512,
-                               num_pdfs=1024)
+        if os.environ.get("BENCH_STREAM", "trie") == "trie":
+            # Production-shaped workload: the 50k-word trie HCLG +
+            # TDNN-1024, same as the throughput bench (BENCH_STREAM=toy
+            # keeps the round-2 200-word loop for comparability).
+            from catears_tpu.tools.biggraph import write_trie_model
+            conf = write_trie_model(
+                model_dir, rng,
+                num_words=int(os.environ.get("BENCH_WORDS", 50000)),
+                hidden=int(os.environ.get("BENCH_HIDDEN", 1024)))
+            geo = (4096, 36864, 8192)
+        else:
+            conf = write_toy_model(model_dir, rng=rng, num_words=200,
+                                   hidden=512, num_pdfs=1024)
+            geo = (2048, 8192, 2048)
         cfg = BeamConfig(
-            beam_size=int(os.environ.get("BENCH_BEAM", 2048)),
-            expand_size=int(os.environ.get("BENCH_EXPAND", 8192)),
-            eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", 2048)),
+            beam_size=int(os.environ.get("BENCH_BEAM", geo[0])),
+            expand_size=int(os.environ.get("BENCH_EXPAND", geo[1])),
+            eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", geo[2])),
             max_eps_iters=3)
         rec = Recognizer(conf, beam_config=cfg)
         pcm = (rng.randn(int(seconds * 16000)) * 1000).astype("<i2").tobytes()

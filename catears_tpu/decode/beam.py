@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from catears_tpu.graph.device import DeviceFst, DeviceLm, lm_propagate
+from catears_tpu.graph.device import (
+    DeviceFst,
+    DeviceLm,
+    lm_propagate_capped,
+)
 
 INF = jnp.float32(jnp.inf)
 SENTINEL_STATE = jnp.int32(2**30)  # sorts after every real state
@@ -49,6 +53,12 @@ class BeamConfig:
     # so this only needs to cover the high-fanout tail of active states.
     expand_size: int = 8192
     eps_expand_size: int = 8192  # epsilon-closure expansion capacity
+    # Delta-LM walk capacity: compact the word-emitting (olabel > 0) lanes
+    # of an expansion into this many slots before the backoff walk, making
+    # its cost proportional to words in flight rather than to expand_size.
+    # 0 = walk every lane (exact, never truncates); > 0 is guarded by the
+    # same overflow flag / hiwater telemetry as the CSR capacities.
+    lm_expand_size: int = 0
     max_eps_iters: int = 6  # closure fixpoint bound
     beam: float = 16.0  # beam width (reference src/decoder.cc:56)
     am_scale: float = 0.1  # acoustic scale (reference src/ce_stt.cc:263)
@@ -84,11 +94,11 @@ class BeamState(NamedTuple):
     # (src/decoder.cc:337-377); here capacities are static shapes, so
     # truncation is detected on device and surfaced by the runtime.
     overflow: jnp.ndarray  # bool scalar
-    # Capacity high-water mark: the max ARCS any frame actually needed in
-    # (emitting overflow, epsilon) CSR expansion — read it after a decode
-    # with generous capacities to size expand_size/eps_expand_size tightly
-    # for a deployment (Decoder.capacity_high_water).
-    hiwater: jnp.ndarray  # i32 [2]
+    # Capacity high-water mark: the max slots any frame actually needed in
+    # (emitting overflow CSR, epsilon CSR, delta-LM walk) — read it after a
+    # decode with generous capacities to size expand_size/eps_expand_size/
+    # lm_expand_size tightly for a deployment (Decoder.capacity_high_water).
+    hiwater: jnp.ndarray  # i32 [3]
 
 
 class FrameTrace(NamedTuple):
@@ -178,27 +188,33 @@ class Cands(NamedTuple):
     eps: Optional[jnp.ndarray]  # i32 [E] dest's packed eps meta, or None
     lm: Optional[jnp.ndarray]  # i32 [E] or None
     bp: Optional[jnp.ndarray]  # i32 [E] or None
+    x0: Optional[jnp.ndarray]  # i32 [E] extra per-source payload, or None
     overflow: jnp.ndarray  # bool scalar
     needed: jnp.ndarray  # i32 scalar: arc slots this expansion wanted
 
 
 def _expand_csr(cfg: BeamConfig, table: jnp.ndarray, g: int,
-                beam: BeamState, capacity: int, row_lo: jnp.ndarray,
-                n_arcs: jnp.ndarray, need_lm: bool, need_bp: bool,
-                need_eps: bool) -> Cands:
-    """CSR expansion over per-token spans (row_lo in grouped-row units).
+                capacity: int, row_lo: jnp.ndarray, n_arcs: jnp.ndarray,
+                costs: jnp.ndarray, lms: jnp.ndarray, bps: jnp.ndarray,
+                x0s: jnp.ndarray, need_lm: bool, need_bp: bool,
+                need_eps: bool, need_x0: bool = False) -> Cands:
+    """CSR expansion over per-SOURCE spans (row_lo in grouped-row units).
+
+    Sources are any [N]-sized set with per-source (cost, lm, bp, x0)
+    payloads — the beam's tokens for the emitting/fallback passes, or a
+    whole candidate array for the one-pass closure.
 
     Tuned for the TPU gather cost model (per-ROW, width nearly free; small
     tables much cheaper): arcs are stored g per row of `table`, so
     ownership bookkeeping and both row gathers run over capacity/g
     grouped slots:
-      1. token row  [E/g, 8]   — per-token values packed per frame
-      2. arc row    [E/g, g*6] — g arcs per fetched row
-    Slot->token ownership is a scatter of span starts + cummax fill — no
+      1. source row  [E/g, 8]  — per-source values packed per frame
+      2. arc row     [E/g, g*5] — g arcs per fetched row
+    Slot->source ownership is a scatter of span starts + cummax fill — no
     binary searches, no per-field gathers.  Outputs are flattened back to
     [capacity] candidates.
     """
-    k = cfg.beam_size
+    k = row_lo.shape[0]
     n_slots = -(-capacity // g)
     capacity = n_slots * g  # round up to a whole number of grouped rows
     span_rows = (n_arcs + (g - 1)) // g
@@ -211,21 +227,31 @@ def _expand_csr(cfg: BeamConfig, table: jnp.ndarray, g: int,
     rows_needed = cum[-1]
     overflow = rows_needed > n_slots
     slots = jnp.arange(k, dtype=jnp.int32)
-    owner = jnp.full((n_slots,), -1, jnp.int32).at[cum_before].max(
-        jnp.where(span_rows > 0, slots, -1), mode="drop")
-    tok = jax.lax.cummax(owner)
+    if k <= 2 * n_slots:
+        # Beam-sized source sets: scatter span starts + cummax fill.
+        owner = jnp.full((n_slots,), -1, jnp.int32).at[cum_before].max(
+            jnp.where(span_rows > 0, slots, -1), mode="drop")
+        tok = jax.lax.cummax(owner)
+    else:
+        # Candidate-sized source sets (one-pass closure: k >> n_slots): a
+        # k-element scatter serializes on TPU, but ownership is just the
+        # CSR rank — n_slots binary searches over the cumsum instead.
+        s_ids = jnp.arange(n_slots, dtype=jnp.int32)
+        tok = jnp.searchsorted(cum, s_ids, side="right").astype(jnp.int32)
+        tok = jnp.where(s_ids < rows_needed, tok, -1)
     tok_c = jnp.clip(tok, 0, k - 1)
 
-    # Per-token row: (row_base, arc_limit, cost_bits, lm, bp, pad, pad, pad)
-    # A grouped slot s owned by token t reads arc row row_base[t] + s and
+    # Per-source row: (row_base, arc_limit, cost_bits, lm, bp, x0, pad, pad)
+    # A grouped slot s owned by source t reads arc row row_base[t] + s and
     # its candidate j is valid iff g*s + j < arc_limit[t].
     token_row = jnp.stack([
         row_lo - cum_before,
         n_arcs + g * cum_before,
-        jax.lax.bitcast_convert_type(beam.costs, jnp.int32),
-        beam.lm,
-        beam.bp,
-        slots, slots, slots,
+        jax.lax.bitcast_convert_type(costs, jnp.int32),
+        lms,
+        bps,
+        x0s,
+        slots, slots,
     ], axis=1)  # [K, 8]
     tr = token_row[tok_c]  # [E/g, 8] row gather (small per-frame table)
     s = jnp.arange(n_slots, dtype=jnp.int32)
@@ -250,6 +276,7 @@ def _expand_csr(cfg: BeamConfig, table: jnp.ndarray, g: int,
         eps=ap[:, :, 4].reshape(capacity) if need_eps else None,
         lm=rep(tr[:, 3]) if need_lm else None,
         bp=rep(tr[:, 4]) if need_bp else None,
+        x0=rep(tr[:, 5]) if need_x0 else None,
         overflow=overflow,
         needed=(rows_needed * g).astype(jnp.int32),
     )
@@ -266,8 +293,9 @@ def _expand_eps_carried(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState,
     """
     eps_lo = eps_meta >> 9
     n = jnp.where(beam.states >= 0, eps_meta & 511, 0)
-    return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, beam, capacity,
-                       eps_lo, n, need_lm, True, need_eps)
+    return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, capacity,
+                       eps_lo, n, beam.costs, beam.lm, beam.bp, beam.bp,
+                       need_lm, True, need_eps)
 
 
 def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
@@ -298,9 +326,9 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     if not emitting:
         sp = dfst.state_packed[state_c]  # [K, 4] row gather
         n_eps = jnp.where(valid_tok, sp[:, 1], 0)
-        return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, beam,
-                           capacity, sp[:, 0], n_eps, need_lm, need_bp,
-                           need_eps)
+        return _expand_csr(cfg, dfst.eps_packed, dfst.eps_group, capacity,
+                           sp[:, 0], n_eps, beam.costs, beam.lm, beam.bp,
+                           beam.bp, need_lm, need_bp, need_eps)
 
     # Passes S+A: ONE direct row gather carrying the block arcs, the
     # state_packed lanes and the extracted self-loop, token fields
@@ -325,11 +353,16 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         next_state=cat2(state_c, blk[:, :, 0].reshape(k * g)),
         olabel=cat2(sf[:, 1], blk[:, :, 1].reshape(k * g)),
         pdf=cat2(sf[:, 3], blk[:, :, 3].reshape(k * g)),
-        # Self-loop dest == own state: its eps metadata is the state lanes.
-        eps=(cat2((sp[:, 0] << 9) | sp[:, 1], blk[:, :, 4].reshape(k * g))
+        # Self-loop dest == own state: its eps metadata is the state
+        # lanes; in eps_removed mode lane 4 is the composed olabel2, and
+        # a true self-loop never has one.
+        eps=(cat2(jnp.zeros_like(state_c) if dfst.eps_removed
+                  else (sp[:, 0] << 9) | sp[:, 1],
+                  blk[:, :, 4].reshape(k * g))
              if need_eps else None),
         lm=(cat2(beam.lm, repk(beam.lm)) if need_lm else None),
         bp=(cat2(beam.bp, repk(beam.bp)) if need_bp else None),
+        x0=None,
         overflow=jnp.bool_(False),
         needed=jnp.int32(0),
     )
@@ -338,9 +371,10 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     # slots would be permanently empty and only pad the dedup sorts.
     if dfst.max_emit_fanout <= g:
         return pass_sa
-    pass_b = _expand_csr(cfg, dfst.over_packed, dfst.csr_group, beam,
-                         capacity, sp[:, 2], jnp.maximum(n_emit - g, 0),
-                         need_lm, need_bp, need_eps)
+    pass_b = _expand_csr(cfg, dfst.over_packed, dfst.csr_group, capacity,
+                         sp[:, 2], jnp.maximum(n_emit - g, 0), beam.costs,
+                         beam.lm, beam.bp, beam.bp, need_lm, need_bp,
+                         need_eps)
     cat = lambda a, b: (jnp.concatenate([a, b])  # noqa: E731
                         if a is not None else None)
     return Cands(
@@ -353,9 +387,25 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         eps=cat(pass_sa.eps, pass_b.eps),
         lm=cat(pass_sa.lm, pass_b.lm),
         bp=cat(pass_sa.bp, pass_b.bp),
+        x0=None,
         overflow=pass_b.overflow,
         needed=pass_b.needed,
     )
+
+
+def _lm(cfg: BeamConfig, dlm: DeviceLm, lm: jnp.ndarray,
+        olabel: jnp.ndarray, valid: jnp.ndarray):
+    """Capped delta-LM walk + (overflow, needed) for the beam telemetry.
+
+    Invalid expansion lanes carry garbage table reads for olabel — mask
+    them out so they neither walk nor count against lm_expand_size.
+    """
+    ns, w, needed = lm_propagate_capped(dlm, lm,
+                                        jnp.where(valid, olabel, 0),
+                                        cfg.lm_expand_size)
+    over = (needed > cfg.lm_expand_size if cfg.lm_expand_size > 0
+            else jnp.bool_(False))
+    return ns, w, over, needed
 
 
 def _acoustic_lookup(logp: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
@@ -395,8 +445,11 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                 need_lm=dlm is not None, need_bp=False, need_eps=need_eps)
     ac_cost = -cfg.am_scale * _acoustic_lookup(logp, c.pdf)
     cost = c.cost + ac_cost
+    lm_over = jnp.bool_(False)
+    lm_needed = jnp.int32(0)
     if dlm is not None:
-        lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
+        lm_state, lm_w, lm_over, lm_needed = _lm(cfg, dlm, c.lm,
+                                                 c.olabel, c.valid)
         cost = cost + lm_w
     else:
         lm_state = None
@@ -413,10 +466,73 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     k = cfg.beam_size
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32),
-                         beam.overflow | c.overflow,
-                         beam.hiwater.at[0].max(c.needed))
+                         beam.overflow | c.overflow | lm_over,
+                         beam.hiwater.at[0].max(c.needed)
+                         .at[2].max(lm_needed))
     return (new_beam, parent, jnp.where(keep, olab, 0), cutoff,
             tuple(eps_info))
+
+
+def _eps_free_step(cfg: BeamConfig, dfst: DeviceFst,
+                   dlm: Optional[DeviceLm], beam: BeamState,
+                   logp: jnp.ndarray):
+    """One-selection frame for eps-removed graphs (the production path).
+
+    transform.remove_epsilons folded every destination's epsilon span
+    into composed emitting arcs offline, so a frame is just: expand
+    emitting arcs (each carrying up to TWO output labels), add acoustic
+    (+ two delta-LM transitions), then ONE exact dedup + top-K + beam
+    threshold.  No closure rounds, no merge selection, no trace
+    composition — on TPU the selection sorts cost per bitonic STAGE
+    (~log^2 N, nearly independent of N at beam shapes), so removing a
+    whole selection pass is worth more than any candidate-count tuning
+    (scripts/frameprof.py round-3 measurements).
+
+    Pruning semantics == OracleDecoder(one_pass_eps=True): relax the
+    full closure, prune once — one step closer to the reference, whose
+    closure worklist also runs before its budget pruning
+    (src/decoder.cc:240-292).
+
+    Returns (beam', prev_slot [K], words [K, 2] newest-first).
+    """
+    k = cfg.beam_size
+    c = _expand(cfg, dfst, beam, cfg.expand_size, True,
+                need_lm=dlm is not None, need_bp=False, need_eps=True)
+    olab2 = c.eps  # lane 4 = composed second olabel in eps_removed mode
+    cost = c.cost - cfg.am_scale * _acoustic_lookup(logp, c.pdf)
+    lm_over = jnp.bool_(False)
+    lm_needed = jnp.int32(0)
+    if dlm is not None:
+        # Two sequential LM transitions: the emitting olabel, then the
+        # composed epsilon-path olabel.  mkgraph HCLGs carry words only
+        # on the (removed) epsilon arcs, so the first walk is statically
+        # absent for them (DeviceFst.has_emit_olabel).
+        if dfst.has_emit_olabel:
+            lm1, w1, over1, need1 = _lm(cfg, dlm, c.lm, c.olabel, c.valid)
+            cost = cost + w1
+        else:
+            lm1, over1, need1 = c.lm, jnp.bool_(False), jnp.int32(0)
+        lm_state, w2, over2, need2 = _lm(cfg, dlm, lm1, olab2, c.valid)
+        cost = cost + w2
+        lm_over = over1 | over2
+        lm_needed = jnp.maximum(need1, need2)
+    else:
+        lm_state = None
+    cand_state = jnp.where(c.valid, c.next_state, SENTINEL_STATE)
+    cand_cost = jnp.where(c.valid, cost, INF)
+    states, lms, costs, tok, w0, w1_ = _select_best(
+        cfg, cand_state, lm_state, cand_cost, [c.tok, olab2, c.olabel])
+    cutoff = costs[0] + cfg.beam
+    keep = costs <= cutoff
+    states = jnp.where(keep, states, -1)
+    costs = jnp.where(keep, costs, INF)
+    new_beam = BeamState(
+        states, lms, costs, jnp.arange(k, dtype=jnp.int32),
+        beam.overflow | c.overflow | lm_over,
+        beam.hiwater.at[0].max(c.needed).at[2].max(lm_needed))
+    words = jnp.stack([jnp.where(keep, w0, 0), jnp.where(keep, w1_, 0)],
+                      axis=1)  # [K, 2] newest-first: (eps olab, emit olab)
+    return new_beam, jnp.where(keep, tok, 0), words
 
 
 def _arena_from_emit(cfg: BeamConfig, dfst: DeviceFst, parent, olab):
@@ -450,8 +566,11 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         c = _expand(cfg, dfst, beam, cfg.eps_expand_size, False,
                     need_lm=dlm is not None, need_bp=True)
         cost = c.cost
+        lm_over = jnp.bool_(False)
+        lm_needed = jnp.int32(0)
         if dlm is not None:
-            lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
+            lm_state, lm_w, lm_over, lm_needed = _lm(cfg, dlm, c.lm,
+                                                     c.olabel, c.valid)
             cost = cost + lm_w
         valid_e = c.valid & (cost <= cutoff)
         cand_state = jnp.where(valid_e, c.next_state, SENTINEL_STATE)
@@ -479,8 +598,9 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                            jnp.where(accepted, olab, 0)], axis=1)
         arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
         new_beam = BeamState(states, lms, costs, new_bp,
-                             beam.overflow | c.overflow,
-                             beam.hiwater.at[1].max(c.needed))
+                             beam.overflow | c.overflow | lm_over,
+                             beam.hiwater.at[1].max(c.needed)
+                             .at[2].max(lm_needed))
         return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
@@ -533,8 +653,11 @@ def _eps_closure_fused(cfg: BeamConfig, dfst: DeviceFst,
             c = _expand(cfg, dfst, beam, cfg.eps_expand_size, False,
                         need_lm=dlm is not None, need_bp=True)
         cost = c.cost
+        lm_over = jnp.bool_(False)
+        lm_needed = jnp.int32(0)
         if dlm is not None:
-            lm_state, lm_w = lm_propagate(dlm, c.lm, c.olabel)
+            lm_state, lm_w, lm_over, lm_needed = _lm(cfg, dlm, c.lm,
+                                                     c.olabel, c.valid)
             cost = cost + lm_w
         valid_e = c.valid & (cost <= cutoff)
         cand_state = jnp.where(valid_e, c.next_state, SENTINEL_STATE)
@@ -563,8 +686,9 @@ def _eps_closure_fused(cfg: BeamConfig, dfst: DeviceFst,
                           jnp.concatenate([olab[:, None], row[:, 1:]], 1),
                           jnp.concatenate([row[:, 1:], zero], 1))
         beam = BeamState(states, lms, costs, slots,
-                         beam.overflow | c.overflow,
-                         beam.hiwater.at[1].max(c.needed))
+                         beam.overflow | c.overflow | lm_over,
+                         beam.hiwater.at[1].max(c.needed)
+                         .at[2].max(lm_needed))
     return beam, prev, words
 
 
@@ -608,18 +732,25 @@ def _frame_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     freezing is the safe equivalent for a batched decoder where other
     utterances in the batch continue.
     """
-    new_beam, parent, olab0, cutoff, eps_info = _emitting_step(
-        cfg, dfst, dlm, beam, logp)
-    static = (dfst.eps_depth is not None
-              and dfst.eps_depth <= cfg.max_eps_iters)
-    if static:
-        new_beam, prev_slot, words = _eps_closure_fused(
-            cfg, dfst, dlm, new_beam, parent, olab0, eps_info, cutoff)
+    if dfst.eps_removed:
+        # Production path: offline epsilon removal left nothing to close —
+        # the whole frame is one expansion + one selection.
+        new_beam, prev_slot, words = _eps_free_step(cfg, dfst, dlm, beam,
+                                                    logp)
     else:
-        arena = _arena_from_emit(cfg, dfst, parent, olab0)
-        new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena,
-                                       cutoff)
-        prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp, arena)
+        new_beam, parent, olab0, cutoff, eps_info = _emitting_step(
+            cfg, dfst, dlm, beam, logp)
+        static = (dfst.eps_depth is not None
+                  and dfst.eps_depth <= cfg.max_eps_iters)
+        if static:
+            new_beam, prev_slot, words = _eps_closure_fused(
+                cfg, dfst, dlm, new_beam, parent, olab0, eps_info, cutoff)
+        else:
+            arena = _arena_from_emit(cfg, dfst, parent, olab0)
+            new_beam, arena = _eps_closure(cfg, dfst, dlm, new_beam, arena,
+                                           cutoff)
+            prev_slot, words = _resolve_chains(cfg, dfst, new_beam.bp,
+                                               arena)
 
     # Overflow only counts on real frames (padded frames re-expand the same
     # frozen beam; their truncation is reported when a real frame hits it).
@@ -654,7 +785,7 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
     beam = BeamState(states, lms, costs, bp, jnp.bool_(False),
-                     jnp.zeros((2,), jnp.int32))
+                     jnp.zeros((3,), jnp.int32))
     static = (dfst.eps_depth is not None
               and dfst.eps_depth <= cfg.max_eps_iters)
     if static:

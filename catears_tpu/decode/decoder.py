@@ -23,14 +23,14 @@ from catears_tpu.decode.hyp import HostTrace, best_path
 from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.graph.device import DeviceFst, DeviceLm, expansion_bounds
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
-from catears_tpu.graph.transform import close_epsilons
+from catears_tpu.graph.transform import prepare_decode_graph
 from catears_tpu.utils import log
 from catears_tpu.utils.errors import BeamCapacityError
 
 
 def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
                 has_lm: bool, csr_group: int = None,
-                lm_dup_factor: int = 4) -> BeamConfig:
+                lm_dup_factor: int = 4, one_pass: bool = False) -> BeamConfig:
     """Raise base's expansion capacities to the graph's worst case.
 
     Without a delta-LM the bound is exact and the decoder can NEVER
@@ -49,11 +49,13 @@ def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
     import dataclasses
 
     eb, epsb = expansion_bounds(fst, arc_group, base.beam_size,
-                                distinct_states=True, csr_group=csr_group)
+                                distinct_states=True, csr_group=csr_group,
+                                one_pass=one_pass)
     if has_lm:
         eb_w, epsb_w = expansion_bounds(fst, arc_group, base.beam_size,
                                         distinct_states=False,
-                                        csr_group=csr_group)
+                                        csr_group=csr_group,
+                                        one_pass=one_pass)
         eb = min(eb_w, lm_dup_factor * eb)
         epsb = min(epsb_w, lm_dup_factor * epsb)
     return dataclasses.replace(
@@ -85,13 +87,14 @@ class Decoder:
             config = BeamConfig(am_scale=am_scale)
         elif config.am_scale != am_scale:
             config = BeamConfig(**{**config.__dict__, "am_scale": am_scale})
-        # Collapse epsilon chains offline so the per-frame closure runs one
-        # round (exact transform; see graph.transform.close_epsilons).
-        dec_fst, cap = fst, None
+        # Offline epsilon pipeline: close chains, then fold the closed
+        # spans into composed emitting arcs so the frame loop is eps-free
+        # (exact transforms; see graph.transform.prepare_decode_graph).
+        dec_fst, cap, olab2 = fst, None, None
         if close_eps:
-            closed, ok = close_epsilons(fst)
-            if ok:
-                dec_fst, cap = closed, 1
+            g2, olab2, mode = prepare_decode_graph(fst)
+            if mode != "raw":
+                dec_fst, cap = g2, 1
         if auto_capacity:
             # No explicit geometry: size capacities so truncation is
             # impossible on this graph.  Explicit configs keep their
@@ -103,7 +106,8 @@ class Decoder:
         self.fst = fst
         self.delta_lm = delta_lm
         self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                                    eps_depth_cap=cap, csr_group=csr_group)
+                                    eps_depth_cap=cap, csr_group=csr_group,
+                                    olabel2=olab2)
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
@@ -156,14 +160,14 @@ class Decoder:
 
     @property
     def capacity_high_water(self) -> tuple:
-        """(emit_overflow, eps) candidate slots the decode actually needed.
+        """(emit_overflow, eps, lm_walk) slots the decode actually needed.
 
         Run a representative decode with generous capacities, then size
-        BeamConfig.expand_size / eps_expand_size to these marks (plus
-        margin) for a tight deployment geometry.
+        BeamConfig.expand_size / eps_expand_size / lm_expand_size to these
+        marks (plus margin) for a tight deployment geometry.
         """
         hw = np.asarray(self.beam.hiwater)[0]
-        return int(hw[0]), int(hw[1])
+        return int(hw[0]), int(hw[1]), int(hw[2])
 
     def check_capacity(self) -> None:
         if self.overflowed:
@@ -213,11 +217,11 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  close_eps: bool = True,
                  csr_group: int = None) -> List[Hypothesis]:
     """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
-    dec_fst, cap = fst, None
+    dec_fst, cap, olab2 = fst, None, None
     if close_eps:
-        closed, ok = close_epsilons(fst)
-        if ok:
-            dec_fst, cap = closed, 1
+        g2, olab2, mode = prepare_decode_graph(fst)
+        if mode != "raw":
+            dec_fst, cap = g2, 1
     if config is None:
         config = safe_config(dec_fst, arc_group,
                              BeamConfig(am_scale=am_scale),
@@ -225,7 +229,8 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
     dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                           eps_depth_cap=cap, csr_group=csr_group)
+                           eps_depth_cap=cap, csr_group=csr_group,
+                           olabel2=olab2)
     dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
     has_lm = delta_lm is not None
 

@@ -28,7 +28,8 @@ class OracleDecoder:
     def __init__(self, fst: FlatFst, tid2pdf: np.ndarray,
                  am_scale: float = 0.1, beam: float = 16.0,
                  beam_size: int = 10**9, max_eps_iters: int = 6,
-                 delta_lm: Optional[DeltaLmFst] = None):
+                 delta_lm: Optional[DeltaLmFst] = None,
+                 one_pass_eps: Optional[bool] = None):
         self.fst = fst
         self.tid2pdf = np.asarray(tid2pdf, np.int64)
         self.am_scale = am_scale
@@ -36,6 +37,14 @@ class OracleDecoder:
         self.beam_size = beam_size
         self.max_eps_iters = max_eps_iters
         self.delta_lm = delta_lm
+        if one_pass_eps is None:
+            # Mirror Decoder's default dispatch: graphs that survive the
+            # full offline epsilon pipeline decode with the device's
+            # eps-free frame — relax the whole closure, prune ONCE at the
+            # end of the frame.
+            from catears_tpu.graph.transform import prepare_decode_graph
+            one_pass_eps = prepare_decode_graph(fst)[2] == "eps_free"
+        self.one_pass_eps = one_pass_eps
         # (hclg_state, lm_state) -> [cost, words_tuple]
         self.tokens: Dict[Tuple[int, int], Tuple[float, Tuple[int, ...]]] = {}
         self.num_frames_decoded = 0
@@ -71,7 +80,7 @@ class OracleDecoder:
             kept = [(k, v) for k, v in kept if v[0] <= cutoff]
         self.tokens = dict(kept)
 
-    def _eps_closure(self, cutoff: float) -> None:
+    def _eps_closure(self, cutoff: float, truncate: bool = True) -> None:
         for _ in range(self.max_eps_iters):
             accepted = False
             for (state, lm_state), (cost, words) in self._sorted_items():
@@ -91,7 +100,8 @@ class OracleDecoder:
                         accepted = True
             if not accepted:
                 break
-            self._truncate(apply_beam=False)
+            if truncate:
+                self._truncate(apply_beam=False)
 
     # -- public API --------------------------------------------------------
 
@@ -132,9 +142,17 @@ class OracleDecoder:
             self.tokens = dict(prev)  # freeze the last valid beam
             self.dead = True
             return False
-        self._truncate(apply_beam=True)
-        best = min(v[0] for v in self.tokens.values())
-        self._eps_closure(best + self.beam)
+        if self.one_pass_eps:
+            # Device one-pass semantics: relax the full epsilon closure
+            # from the UNPRUNED emitting relaxation (dict dedup makes
+            # from-all-candidates == from-winners), then prune exactly
+            # once over the union.
+            self._eps_closure(math.inf, truncate=False)
+            self._truncate(apply_beam=True)
+        else:
+            self._truncate(apply_beam=True)
+            best = min(v[0] for v in self.tokens.values())
+            self._eps_closure(best + self.beam)
         self.num_frames_decoded += 1
         return bool(self.tokens)
 

@@ -43,7 +43,8 @@ def _per_state_arc_counts(fst: FlatFst):
 def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
                      distinct_states: bool = True,
                      csr_group: Optional[int] = None,
-                     eps_group: Optional[int] = None) -> Tuple[int, int]:
+                     eps_group: Optional[int] = None,
+                     one_pass: bool = False) -> Tuple[int, int]:
     """Worst-case (expand_size, eps_expand_size) for a beam of K tokens.
 
     The emitting expansion's CSR overflow pass allocates ceil(max(n_emit
@@ -55,6 +56,12 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
     src/decoder.cc:337-377); smaller capacities are guarded by the
     runtime overflow flag in decode.beam.
 
+    one_pass=True sizes the epsilon capacity for the depth-1 fused frame
+    (decode.beam._one_pass_step), where closure children expand from ALL
+    of a token's emitting candidates: the per-state row demand becomes
+    the sum of eps rows over every emitting arc's destination (self-loop
+    included).
+
     With delta-LM rescoring the beam dedups on (state, lm) pairs, so all K
     tokens can share one state — pass distinct_states=False for the
     K * max-rows bound instead of the top-K-distinct sum.
@@ -64,6 +71,16 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
     n_eps, n_emit = _per_state_arc_counts(fst)
     over_rows = -(-np.maximum(n_emit - group, 0) // gc)
     eps_rows = -(-n_eps // ge)
+    if one_pass:
+        # Per-source-state epsilon row demand: eps rows of every emitting
+        # arc's destination (candidates pre-dedup), incl. the self-loop.
+        n_all = np.diff(fst.offsets.astype(np.int64))
+        state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
+        emit = fst.arc_ilabel != 0
+        eps_demand = np.zeros(fst.num_states, np.int64)
+        np.add.at(eps_demand, state_of_arc[emit],
+                  eps_rows[fst.arc_next[emit]])
+        eps_rows = eps_demand
 
     def worst(rows: np.ndarray) -> int:
         if rows.size == 0:
@@ -107,7 +124,8 @@ def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
     data_fields=["start", "final", "state_packed", "over_packed",
                  "eps_packed", "emit_block"],
     meta_fields=["eps_depth", "group", "csr_group", "eps_group",
-                 "eps_meta_ok", "max_emit_fanout"])
+                 "eps_meta_ok", "max_emit_fanout", "eps_removed",
+                 "has_emit_olabel"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFst:
     """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
@@ -168,6 +186,18 @@ class DeviceFst:
     eps_group: int  # arcs per epsilon CSR gather row
     eps_meta_ok: bool  # static: dest eps metadata packs into one lane
     max_emit_fanout: int  # static: max non-self emitting arcs of any state
+    # Static: graph came from transform.remove_epsilons — EMITTING arc
+    # records carry the composed second output label (olabel2) in lane 4
+    # instead of dest eps metadata, and the frame loop runs with no
+    # epsilon closure at all (decode.beam._eps_free_step).  The eps
+    # tables remain (epsilon arc records keep their meta) for the
+    # decode-root initialization closure.
+    eps_removed: bool = False
+    # Static: some emitting arc carries a FIRST output label.  mkgraph
+    # HCLGs put word labels on the word-end epsilon arcs, so after
+    # remove_epsilons only the composed second label (lane 4) is ever
+    # nonzero — the delta-LM's first-walk pass is statically skippable.
+    has_emit_olabel: bool = True
 
     ARC_LANES = 5
 
@@ -175,10 +205,13 @@ class DeviceFst:
     def build(cls, fst: FlatFst, tid2pdf: np.ndarray, group: int = 4,
               eps_depth_cap: Optional[int] = None,
               csr_group: Optional[int] = None,
-              eps_group: Optional[int] = None) -> "DeviceFst":
+              eps_group: Optional[int] = None,
+              olabel2: Optional[np.ndarray] = None) -> "DeviceFst":
         """eps_depth_cap: caller-guaranteed closure round bound (e.g. 1
         after graph.transform.close_epsilons) — the syntactic chain depth
-        measured here stays larger because closure keeps original arcs."""
+        measured here stays larger because closure keeps original arcs.
+        olabel2: per-arc second output label from remove_epsilons; its
+        presence switches the layout to eps_removed mode."""
         gc = csr_group or group
         ge = eps_group or group
         s = fst.num_states
@@ -240,10 +273,18 @@ class DeviceFst:
                         | n_eps[fst.arc_next]).astype(np.int32)
         else:
             dst_meta = np.zeros(fst.num_arcs, np.int32)
+        if olabel2 is not None:
+            # eps-removed layout: emitting records carry the composed
+            # second olabel; epsilon records keep closure metadata (they
+            # only serve the init closure).
+            lane4 = np.where(is_eps, dst_meta,
+                             np.asarray(olabel2, np.int32))
+        else:
+            lane4 = dst_meta
         packed = np.stack([
             fst.arc_next, fst.arc_olabel,
             fst.arc_weight.view(np.int32), arc_pdf,
-            dst_meta,
+            lane4,
         ], axis=1).astype(np.int32)
         lanes = packed.shape[1]
         self_arc = np.zeros((s, 4), np.int32)
@@ -288,6 +329,8 @@ class DeviceFst:
             eps_group=ge,
             eps_meta_ok=eps_meta_ok,
             max_emit_fanout=int(n_emit.max(initial=0)),
+            eps_removed=olabel2 is not None,
+            has_emit_olabel=bool((~is_eps & (fst.arc_olabel > 0)).any()),
         )
 
     @staticmethod
@@ -366,6 +409,53 @@ class DeviceLm:
             max_backoff=max_backoff,
             span_bits=max(1, max_span.bit_length()),
         )
+
+
+def lm_propagate_capped(dlm: DeviceLm, states: jnp.ndarray,
+                        labels: jnp.ndarray, cap: int):
+    """lm_propagate over only the ACTIVE (label > 0) lanes, compacted.
+
+    The backoff walk costs span_bits binary-search gathers per lane per
+    iteration over EVERY lane it is given, but word-emitting candidates
+    are a small fraction of an expansion (most arcs carry olabel 0).
+    Compacting the active lanes into `cap` slots makes the walk's cost
+    proportional to the number of WORDS in flight, not to the expansion
+    capacity:
+
+      1. inclusive cumsum of the active mask -> each lane's rank
+      2. searchsorted(ranks, 1..cap) -> the lane index of each rank
+         (log2(E) rounds of cap-wide gathers, no scatters, no sorts)
+      3. bounded backoff walk over the cap compacted lanes
+      4. one packed row gather maps (state', weight) back to all lanes
+
+    Returns (next_states, delta_weights, needed): `needed` is the number
+    of active lanes in this call — if it exceeds cap, the overflow lanes
+    kept their state with zero weight (WRONG results), so the caller must
+    surface it exactly like a CSR expansion overflow.  cap <= 0 runs the
+    uncapped walk (exact, never truncates) and still reports `needed`
+    for capacity sizing telemetry.
+    """
+    active = labels > 0
+    needed = jnp.sum(active.astype(jnp.int32))
+    e = states.shape[0]
+    if cap <= 0 or cap >= e:
+        ns, w = lm_propagate(dlm, states, labels)
+        return ns, w, needed
+    rank = jnp.cumsum(active.astype(jnp.int32))  # [E] inclusive
+    tgt = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    # lane of the r-th active element; == e (out of range) past `needed`.
+    lane = jnp.searchsorted(rank, tgt, side="left").astype(jnp.int32)
+    lane_c = jnp.minimum(lane, e - 1)
+    sub_ok = tgt <= needed
+    sub_states = jnp.where(sub_ok, states[lane_c], 0)
+    sub_labels = jnp.where(sub_ok, labels[lane_c], 0)
+    ns, w = lm_propagate(dlm, sub_states, sub_labels)
+    # Scatter the cap results back to their lanes (cap rows — cheap;
+    # the inverse E-row gather costs ~10x at expansion widths).
+    out_s = states.at[lane].set(jnp.where(sub_ok, ns, 0), mode="drop")
+    out_w = jnp.zeros(e, jnp.float32).at[lane].set(
+        jnp.where(sub_ok, w, 0.0), mode="drop")
+    return out_s, out_w, needed
 
 
 def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,

@@ -77,6 +77,15 @@ class FlatFst:
             arc_weight=np.asarray(arc_weight, np.float32)[order],
         )
 
+    def to_raw(self) -> RawFst:
+        """Inverse of from_raw: pk::fst_0 image (first_arc = -1 if arcless)."""
+        has = self.offsets[:-1] < self.offsets[1:]
+        first = np.where(has, self.offsets[:-1], -1).astype(np.int32)
+        return RawFst(start=self.start, final=self.final,
+                      first_arc=first, arc_next=self.arc_next,
+                      arc_ilabel=self.arc_ilabel, arc_olabel=self.arc_olabel,
+                      arc_weight=self.arc_weight)
+
     @classmethod
     def from_raw(cls, raw: RawFst) -> "FlatFst":
         """From a pk::fst_0 file image (already (state, ilabel)-sorted)."""

@@ -54,8 +54,10 @@ class Recognizer:
         self.fbank = Fbank()
         self.beam_config = beam_config or BeamConfig(am_scale=AM_SCALE)
         # Arc-block width for the device graph layout (DeviceFst.group);
-        # tune to the graph's typical emitting fanout.
+        # tune to the graph's typical emitting fanout.  csr_group widens
+        # the overflow-CSR rows independently (0 = same as arc_group).
         self.arc_group = conf.get_int("arc_group", 4)
+        self.csr_group = conf.get_int("csr_group", 0) or None
 
     def _read_delta_lm(self, conf: Configuration) -> Optional[DeltaLmFst]:
         large_lm_file = conf.get_path("large_lm", "")
@@ -94,7 +96,8 @@ class Utterance:
             recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
             delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
             chunk_frames=PARTIAL_HYP_INTERVAL,
-            arc_group=recognizer.arc_group)
+            arc_group=recognizer.arc_group,
+            csr_group=recognizer.csr_group)
         self.session = None
         if fused:
             from catears_tpu.runtime.streaming import StreamingSession

@@ -368,3 +368,48 @@ def plant_logp(rng: np.random.RandomState, graph: TrieGraph, batch: int,
         logp[b] = z - np.log(norm)
         all_words.append(words)
     return logp, all_words
+
+
+def write_trie_model(out_dir: str, rng: np.random.RandomState,
+                     num_words: int = 50_000, hidden: int = 1024,
+                     **trie_kwargs) -> str:
+    """Write a decodable model directory around a trie HCLG.
+
+    Same artifact set as tools.toy.write_toy_model (pk::fst_0 graph, NN02
+    nnet, VEC0 prior/tid2pdf, words.txt, config) but at large-vocab bench
+    scale — used by the streaming bench so its latency numbers come from
+    the production-shaped graph, not a toy loop.  Returns the config path.
+    """
+    import os
+
+    from catears_tpu.io import binfmt
+    from catears_tpu.tools.toy import make_toy_nnet
+
+    os.makedirs(out_dir, exist_ok=True)
+    g = make_trie_graph(rng, num_words=num_words, **trie_kwargs)
+    nnet = make_toy_nnet(rng, hidden=hidden, num_pdfs=g.num_pdfs)
+    with open(os.path.join(out_dir, "trie.nnet"), "wb") as fd:
+        binfmt.write_nnet(fd, nnet)
+    prior = (np.ones(g.num_pdfs) / g.num_pdfs).astype(np.float32)
+    with open(os.path.join(out_dir, "trie.prior"), "wb") as fd:
+        binfmt.write_vec0(fd, prior)
+    with open(os.path.join(out_dir, "trie.tid2pdf"), "wb") as fd:
+        binfmt.write_vec0(fd, g.tid2pdf)
+    with open(os.path.join(out_dir, "trie.fst"), "wb") as fd:
+        binfmt.write_pkfst(fd, g.fst.to_raw())
+    with open(os.path.join(out_dir, "words.txt"), "w") as fd:
+        fd.write("<eps> 0\n")
+        for i in range(1, g.num_words + 1):
+            fd.write(f"word{i} {i}\n")
+        fd.write(f"<s> {g.num_words + 1}\n")
+        fd.write(f"</s> {g.num_words + 2}\n")
+    conf = os.path.join(out_dir, "trie.conf")
+    with open(conf, "w") as fd:
+        fd.write("fst = trie.fst\nnnet = trie.nnet\nprior = trie.prior\n")
+        fd.write(f"left_context = {nnet.left_context}\n")
+        fd.write(f"right_context = {nnet.right_context}\n")
+        fd.write(f"chunk_size = 20\nnum_pdfs = {g.num_pdfs}\n")
+        fd.write("tid2pdf = trie.tid2pdf\nsymbol_table = words.txt\n")
+        # Device layout tuned for trie fanout (bench.py / frameprof sweep)
+        fd.write("arc_group = 2\ncsr_group = 8\n")
+    return conf

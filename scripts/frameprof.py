@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from catears_tpu.decode import beam as B
 from catears_tpu.decode.beam import BeamConfig, BeamState
 from catears_tpu.graph.device import DeviceFst
-from catears_tpu.graph.transform import close_epsilons
+from catears_tpu.graph.transform import prepare_decode_graph
 from catears_tpu.tools.biggraph import make_trie_graph
 
 BATCH = int(os.environ.get("PROF_BATCH", 16))
@@ -33,7 +33,7 @@ REPS = int(os.environ.get("PROF_REPS", 30))
 WORDS = int(os.environ.get("BENCH_WORDS", 50000))
 
 rng = np.random.RandomState(0)
-_cache = f"/tmp/trieprof_{WORDS}.npz"
+_cache = f"/tmp/trieprof2_{WORDS}.npz"
 if os.path.exists(_cache):
     from catears_tpu.graph.fst import FlatFst
     z = np.load(_cache)
@@ -41,21 +41,24 @@ if os.path.exists(_cache):
                   offsets=z["offsets"], arc_ilabel=z["arc_ilabel"],
                   arc_next=z["arc_next"], arc_olabel=z["arc_olabel"],
                   arc_weight=z["arc_weight"])
-    eps_ok = bool(z["eps_ok"])
+    mode = str(z["mode"])
+    olab2 = z["olab2"] if mode == "eps_free" else None
     tid2pdf, num_pdfs = z["tid2pdf"], int(z["num_pdfs"])
 else:
     tg = make_trie_graph(rng, num_words=WORDS)
-    fst, eps_ok = close_epsilons(tg.fst)
+    fst, olab2, mode = prepare_decode_graph(tg.fst)
     tid2pdf, num_pdfs = tg.tid2pdf, tg.num_pdfs
     np.savez(_cache, start=fst.start, final=fst.final, offsets=fst.offsets,
              arc_ilabel=fst.arc_ilabel, arc_next=fst.arc_next,
              arc_olabel=fst.arc_olabel, arc_weight=fst.arc_weight,
-             eps_ok=eps_ok, tid2pdf=tid2pdf, num_pdfs=num_pdfs)
+             mode=mode, tid2pdf=tid2pdf, num_pdfs=num_pdfs,
+             olab2=olab2 if olab2 is not None else np.zeros(1, np.int32))
 dfst = DeviceFst.build(fst, tid2pdf,
-                       group=int(os.environ.get("PROF_GROUP", 4)),
-                       csr_group=int(os.environ.get("PROF_CSR_GROUP", 0))
+                       group=int(os.environ.get("PROF_GROUP", 2)),
+                       csr_group=int(os.environ.get("PROF_CSR_GROUP", 8))
                        or None,
-                       eps_depth_cap=1 if eps_ok else None)
+                       eps_depth_cap=1 if mode != "raw" else None,
+                       olabel2=olab2)
 cfg = BeamConfig(beam_size=int(os.environ.get("PROF_K", 4096)),
                  expand_size=int(os.environ.get("PROF_EXPAND", 32768)),
                  eps_expand_size=int(os.environ.get("PROF_EPS", 1024)),
@@ -72,7 +75,7 @@ beam0 = BeamState(
     costs=jnp.asarray(np.sort(rng.rand(BATCH, K).astype(np.float32) * 8, 1)),
     bp=jnp.tile(jnp.arange(K, dtype=jnp.int32), (BATCH, 1)),
     overflow=jnp.zeros((BATCH,), bool),
-    hiwater=jnp.zeros((BATCH, 2), jnp.int32),
+    hiwater=jnp.zeros((BATCH, 3), jnp.int32),
 )
 logp0 = jnp.asarray(rng.randn(BATCH, P).astype(np.float32) - 5.0)
 
@@ -135,6 +138,13 @@ def stage_eps_only(beam, logp):
                     words.astype(jnp.float32))
 
 
+def stage_epsfree(beam, logp):
+    """The eps-removed production frame (expand + acoustic + one select)."""
+    nb, prev, words = B._eps_free_step(cfg, dfst, None, beam, logp)
+    return collapse(nb.costs, prev.astype(jnp.float32),
+                    words.astype(jnp.float32))
+
+
 def stage_select_only(beam, logp):
     """_select_best at emitting-expansion width with synthetic candidates."""
     e = cfg.expand_size + cfg.beam_size * (dfst.group + 1)
@@ -180,6 +190,11 @@ if __name__ == "__main__":
         timeit("eps_only", stage_eps_only)
         timeit("select_only", stage_select_only)
         timeit("expand", stage_expand)
+    elif stages == "epsfree":
+        timeit("expand", stage_expand)
+        timeit("select_only", stage_select_only)
+        timeit("epsfree_full", stage_epsfree)
+        timeit("old_full", stage_emit_eps)  # two-select path, same graph
     else:
         t1 = timeit("expand", stage_expand)
         t2 = timeit("expand+ac", stage_expand_ac)

@@ -35,7 +35,7 @@ from catears_tpu.decode.beam import (
 )
 from catears_tpu.decode.hyp import assemble_words
 from catears_tpu.graph.device import DeviceFst
-from catears_tpu.graph.transform import close_epsilons
+from catears_tpu.graph.transform import prepare_decode_graph
 from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
 from catears_tpu.tools.score import edit_distance
 
@@ -50,10 +50,12 @@ CHUNK = 100
 rng = np.random.RandomState(0)
 print(f"# building {WORDS}-word trie...", file=sys.stderr)
 tg = make_trie_graph(rng, num_words=WORDS)
-fst, eps_ok = close_epsilons(tg.fst)
-dfst = DeviceFst.build(fst, tg.tid2pdf, group=4,
-                       csr_group=int(os.environ.get("CSR_GROUP", 0)) or None,
-                       eps_depth_cap=1 if eps_ok else None)
+fst, olab2, mode = prepare_decode_graph(tg.fst)
+dfst = DeviceFst.build(fst, tg.tid2pdf,
+                       group=int(os.environ.get("GROUP", 2)),
+                       csr_group=int(os.environ.get("CSR_GROUP", 8)) or None,
+                       eps_depth_cap=1 if mode != "raw" else None,
+                       olabel2=olab2)
 frames = int(SECONDS * 100) - 2
 logp, true_words = plant_logp(rng, tg, BATCH, frames, amp=AMP)
 logp_t = jnp.asarray(np.transpose(logp, (1, 0, 2)))  # [T, B, P]
@@ -91,8 +93,11 @@ def decode(cfg):
 results = []
 for k in BEAMS:
     expand = int(os.environ.get("EXPAND", 0)) or min(8 * k, 131072)
+    # One-pass closure expands children of ALL candidates (pre-dedup), so
+    # the eps capacity scales with the expansion, not the beam.
+    eps = int(os.environ.get("EPS_EXPAND", 0)) or max(4096, k)
     cfg = BeamConfig(beam_size=k, expand_size=expand,
-                     eps_expand_size=max(1024, k // 4), max_eps_iters=3)
+                     eps_expand_size=eps, max_eps_iters=3)
     t0 = time.perf_counter()
     words, overflow, hiwater = decode(cfg)
     dt = time.perf_counter() - t0
@@ -104,7 +109,7 @@ for k in BEAMS:
     hw = hiwater.max(axis=0)
     row = {"beam": k, "amp": AMP, "wer": round(wer, 4),
            "overflow": bool(overflow.any()),
-           "hiwater": [int(hw[0]), int(hw[1])],
+           "hiwater": [int(v) for v in hw],
            "expand": expand, "wall_s": round(dt, 1)}
     results.append(row)
     print(json.dumps(row), flush=True)

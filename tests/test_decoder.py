@@ -269,7 +269,12 @@ class TestOverflowSafety:
             dec.best_path()
 
     def test_too_small_eps_expand_reports(self):
-        """Undersized epsilon capacity is flagged by the closure pass."""
+        """Undersized epsilon capacity is flagged by the closure pass.
+
+        The default pipeline removes epsilons from the frame loop
+        entirely (eps capacity then only serves the init closure), so
+        this exercises the closure path with close_eps=False.
+        """
         from catears_tpu.utils.errors import BeamCapacityError
         graph, logp = self._graph()
         fst = FlatFst.from_raw(graph.fst)
@@ -278,7 +283,8 @@ class TestOverflowSafety:
         # cannot hold them.
         cfg = BeamConfig(beam_size=256, expand_size=4096, eps_expand_size=2,
                          max_eps_iters=6, beam=1e9)
-        dec = Decoder(fst, graph.tid2pdf, config=cfg, arc_group=1)
+        dec = Decoder(fst, graph.tid2pdf, config=cfg, arc_group=1,
+                      close_eps=False)
         dec.process(logp)
         dec.end_of_stream()
         assert dec.overflowed
@@ -317,19 +323,24 @@ class TestOverflowSafety:
         fst = FlatFst.from_raw(graph.fst)
         big = BeamConfig(beam_size=64, expand_size=4096,
                          eps_expand_size=4096, max_eps_iters=6, beam=1e9)
-        dec = Decoder(fst, graph.tid2pdf, config=big, arc_group=1)
+        # Closure path (close_eps=False) so BOTH the emit and eps lanes
+        # report; the default eps-removed pipeline uses the eps capacity
+        # only at init.
+        dec = Decoder(fst, graph.tid2pdf, config=big, arc_group=1,
+                      close_eps=False)
         dec.process(logp)
         dec.end_of_stream()
         assert not dec.overflowed
         hyp = dec.best_path()
-        hw_emit, hw_eps = dec.capacity_high_water
+        hw_emit, hw_eps, _ = dec.capacity_high_water
         assert 0 < hw_emit <= big.expand_size
         assert 0 < hw_eps <= big.eps_expand_size
 
         tight = BeamConfig(beam_size=64, expand_size=max(hw_emit, 1),
                            eps_expand_size=max(hw_eps, 1),
                            max_eps_iters=6, beam=1e9)
-        dec2 = Decoder(fst, graph.tid2pdf, config=tight, arc_group=1)
+        dec2 = Decoder(fst, graph.tid2pdf, config=tight, arc_group=1,
+                       close_eps=False)
         dec2.process(logp)
         dec2.end_of_stream()
         assert not dec2.overflowed
@@ -338,12 +349,27 @@ class TestOverflowSafety:
         small = BeamConfig(beam_size=64, expand_size=max(hw_emit, 1),
                            eps_expand_size=max(hw_eps // 2, 1),
                            max_eps_iters=6, beam=1e9)
-        dec3 = Decoder(fst, graph.tid2pdf, config=small, arc_group=1)
+        dec3 = Decoder(fst, graph.tid2pdf, config=small, arc_group=1,
+                       close_eps=False)
         dec3.process(logp)
         dec3.end_of_stream()
         assert dec3.overflowed
         with pytest.raises(BeamCapacityError):
             dec3.best_path()
+
+        # Default eps-removed pipeline: emit sizing still round-trips.
+        dec4 = Decoder(fst, graph.tid2pdf, config=big, arc_group=1)
+        dec4.process(logp)
+        dec4.end_of_stream()
+        assert not dec4.overflowed
+        hw4_emit, _, _ = dec4.capacity_high_water
+        tight4 = BeamConfig(beam_size=64, expand_size=max(hw4_emit, 1),
+                            eps_expand_size=64, max_eps_iters=6, beam=1e9)
+        dec5 = Decoder(fst, graph.tid2pdf, config=tight4, arc_group=1)
+        dec5.process(logp)
+        dec5.end_of_stream()
+        assert not dec5.overflowed
+        assert dec5.best_path().words == dec4.best_path().words
 
     def test_expansion_bounds_exact(self):
         """Bounds equal the hand-computed worst case on a known graph."""
@@ -440,6 +466,39 @@ class TestTrieGraph:
                         delta_lm=big.delta_lm())
         assert d.words == o.words
         assert abs(d.weight - o.weight) < 1e-2
+
+    def test_capped_lm_walk_exact_and_overflow_guarded(self):
+        """lm_expand_size compaction: identical transcript when the cap
+        covers the lm high-water mark; BeamCapacityError when it can't.
+        """
+        import dataclasses
+
+        from catears_tpu.decode.decoder import Decoder
+        from catears_tpu.tools.biggraph import make_big_lm, plant_logp
+        from catears_tpu.utils.errors import BeamCapacityError
+        rng, g = self._make()
+        big = make_big_lm(np.random.RandomState(9), num_words=g.num_words)
+        logp, _ = plant_logp(rng, g, 1, 80)
+        cfg = BeamConfig(beam_size=128, expand_size=2048,
+                         eps_expand_size=1024, max_eps_iters=4,
+                         beam=1e9, am_scale=0.1)
+
+        def decode(c):
+            dec = Decoder(g.fst, g.tid2pdf, delta_lm=big.delta_lm(),
+                          config=c, chunk_frames=7)
+            dec.process(logp[0])
+            dec.end_of_stream()
+            return dec
+
+        ref = decode(cfg)  # uncapped walk, reports lm high-water
+        hw_lm = ref.capacity_high_water[2]
+        assert hw_lm > 0
+        capped = decode(dataclasses.replace(cfg, lm_expand_size=hw_lm))
+        assert capped.best_path().words == ref.best_path().words
+        assert capped.capacity_high_water[2] == hw_lm
+        tiny = decode(dataclasses.replace(cfg, lm_expand_size=1))
+        with pytest.raises(BeamCapacityError):
+            tiny.best_path()
 
     def test_auto_capacity_with_delta_lm_on_big_graph(self):
         """safe_config + delta-LM: the (state, lm)-pair worst case is

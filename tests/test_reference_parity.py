@@ -124,6 +124,76 @@ class TestTranscriptParity:
                 == decode_wav_file(rec_pk, wav_path))
 
 
+class TestMidSizeParity:
+    """Transcript parity beyond the 5-word toy: a mkgraph-shaped trie HCLG
+    (1.5k words, ~15k states) exported to the reference's artifact formats
+    (OpenFST ConstFst + NN02 + VEC0), decoded by the reference binary and
+    by this framework on the same real audio.  The reference handles
+    arbitrary-size graphs within its 30k-token budget
+    (/root/reference/src/decoder.h:54); this checks agreement holds on a
+    graph where beam pruning and word-end epsilon traffic actually engage.
+    """
+
+    @pytest.fixture(scope="class")
+    def mid_model(self, tmp_path_factory):
+        from catears_tpu.io import binfmt
+        from catears_tpu.tools.biggraph import make_trie_graph
+        from catears_tpu.tools.toy import make_toy_nnet
+
+        out = tmp_path_factory.mktemp("parity_mid")
+        rng = np.random.RandomState(11)
+        g = make_trie_graph(rng, num_words=1500, num_phones=50,
+                            variants=2, bigram_states=400)
+        nnet = make_toy_nnet(rng, hidden=64, num_pdfs=g.num_pdfs)
+        with open(os.path.join(out, "mid.nnet"), "wb") as fd:
+            binfmt.write_nnet(fd, nnet)
+        prior = (np.ones(g.num_pdfs) / g.num_pdfs).astype(np.float32)
+        with open(os.path.join(out, "mid.prior"), "wb") as fd:
+            binfmt.write_vec0(fd, prior)
+        with open(os.path.join(out, "mid.tid2pdf"), "wb") as fd:
+            binfmt.write_vec0(fd, g.tid2pdf)
+        counts = np.diff(g.fst.offsets).astype(np.int32)
+        cf = ConstFst(start=g.fst.start, final=g.fst.final,
+                      arc_pos=g.fst.offsets[:-1].astype(np.int64),
+                      arc_count=counts, arc_ilabel=g.fst.arc_ilabel,
+                      arc_olabel=g.fst.arc_olabel,
+                      arc_weight=g.fst.arc_weight, arc_next=g.fst.arc_next)
+        with open(os.path.join(out, "mid.hclg"), "wb") as fd:
+            write_const_fst(fd, cf)
+        with open(os.path.join(out, "words.txt"), "w") as fd:
+            fd.write("<eps> 0\n")
+            for i in range(1, g.num_words + 1):
+                fd.write(f"word{i} {i}\n")
+            fd.write(f"<s> {g.num_words + 1}\n")
+            fd.write(f"</s> {g.num_words + 2}\n")
+        conf = os.path.join(out, "mid.conf")
+        with open(conf, "w") as fd:
+            fd.write("fst = mid.hclg\nnnet = mid.nnet\nprior = mid.prior\n")
+            fd.write(f"left_context = {nnet.left_context}\n")
+            fd.write(f"right_context = {nnet.right_context}\n")
+            fd.write(f"chunk_size = 8\nnum_pdfs = {g.num_pdfs}\n")
+            fd.write("tid2pdf = mid.tid2pdf\nsymbol_table = words.txt\n")
+        return conf
+
+    @pytest.mark.parametrize("wav", ["en-us-hello.wav", "en-us-cat.wav"])
+    def test_same_transcript_at_scale(self, mid_model, data_dir, wav):
+        from catears_tpu.decode.beam import BeamConfig
+
+        wav_path = os.path.join(data_dir, wav)
+        ref_out = subprocess.run([REFERENCE_BIN, mid_model, wav_path],
+                                 capture_output=True, text=True, timeout=600)
+        assert ref_out.returncode == 0, ref_out.stderr
+        ref_hyp = ref_out.stdout.strip()
+        # Beam capacity comparable to the reference's 30k-token budget so
+        # any disagreement is semantic, not a pruning-budget artifact.
+        cfg = BeamConfig(beam_size=8192, expand_size=32768,
+                         eps_expand_size=16384, max_eps_iters=4)
+        rec = Recognizer(mid_model, beam_config=cfg)
+        our_hyp = decode_wav_file(rec, wav_path)
+        assert our_hyp == ref_hyp, (
+            f"reference: {ref_hyp!r}  ours: {our_hyp!r}")
+
+
 def _write_wav(path, samples: np.ndarray):
     """Write a canonical 16-bit mono 16 kHz wav file."""
     import struct
