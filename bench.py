@@ -118,6 +118,9 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         # Delta-LM walk compaction (0 = walk every lane); size from the
         # lm high-water mark of an uncapped run, like the CSR capacities.
         lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND", 0)),
+        # Selection compaction (0 = classic full-width sorts); size from
+        # hiwater slot 3 of an uncapped run, like the CSR capacities.
+        select_compact=int(os.environ.get("BENCH_SELECT_COMPACT", 0)),
         max_eps_iters=3,
         beam=16.0,
     )
@@ -214,7 +217,7 @@ def main():
     hyps = [assemble_words(words[b]) for b in range(batch)]
     hyp0 = hyps[0]
     assert np.isfinite(costs).any(), "beam died"
-    hw = hiwater.max(axis=0)  # (emit_overflow, eps, lm) slots actually needed
+    hw = hiwater.max(axis=0)  # (emit_overflow, eps, lm, select) slots actually needed
     assert not overflow.any(), (
         f"arc expansion overflowed: needed (emit_over, eps) <= {tuple(hw)}; "
         f"raise BENCH_EXPAND/BENCH_EPS_EXPAND")

@@ -25,7 +25,9 @@ over frames in chunks.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -59,6 +61,16 @@ class BeamConfig:
     # 0 = walk every lane (exact, never truncates); > 0 is guarded by the
     # same overflow flag / hiwater telemetry as the CSR capacities.
     lm_expand_size: int = 0
+    # Selection compaction capacity: when > 0, large selections prefilter
+    # candidates by the beam threshold (cost <= min + beam) and compact the
+    # survivors into this many slots BEFORE the dedup/top-K sorts, so the
+    # full-width sorts over expand_size candidates become sorts over the
+    # (much smaller) set that can actually enter the beam.  Exact: the
+    # threshold commutes with dedup and top-K, and compaction preserves
+    # candidate order so every tie-break is unchanged.  Truncation (more
+    # survivors than slots) is detected on device like the CSR capacities:
+    # overflow flag + hiwater slot 3.  0 = classic full-width sorts.
+    select_compact: int = 0
     max_eps_iters: int = 6  # closure fixpoint bound
     beam: float = 16.0  # beam width (reference src/decoder.cc:56)
     am_scale: float = 0.1  # acoustic scale (reference src/ce_stt.cc:263)
@@ -95,10 +107,11 @@ class BeamState(NamedTuple):
     # truncation is detected on device and surfaced by the runtime.
     overflow: jnp.ndarray  # bool scalar
     # Capacity high-water mark: the max slots any frame actually needed in
-    # (emitting overflow CSR, epsilon CSR, delta-LM walk) — read it after a
-    # decode with generous capacities to size expand_size/eps_expand_size/
-    # lm_expand_size tightly for a deployment (Decoder.capacity_high_water).
-    hiwater: jnp.ndarray  # i32 [3]
+    # (emitting overflow CSR, epsilon CSR, delta-LM walk, select compact) —
+    # read it after a decode with generous capacities to size expand_size/
+    # eps_expand_size/lm_expand_size/select_compact tightly for a
+    # deployment (Decoder.capacity_high_water).
+    hiwater: jnp.ndarray  # i32 [4]
 
 
 class FrameTrace(NamedTuple):
@@ -118,8 +131,100 @@ class FrameTrace(NamedTuple):
     words: jnp.ndarray  # i32 [K, W]
 
 
-def _select_best(cfg: BeamConfig, states, lms, costs, payloads):
+def _select_best(cfg: BeamConfig, states, lms, costs, payloads,
+                 compact: bool = False):
     """Dedup by (state, lm) keeping min cost, then exact top-K by cost.
+
+    Returns ((states, lms, costs, *payload_columns), overflow, needed):
+    the kept K slots plus the select-compact truncation flag and demand
+    (always (False, 0) on the classic path).
+
+    When cfg.select_compact is set AND the caller opted in (compact=True —
+    only valid where the caller applies the beam threshold to the selected
+    beam immediately afterwards; the init-time closure runs with
+    cutoff=INF and must not prefilter), the beam-threshold prefilter +
+    compaction in _compact_candidates shrinks the sorts from
+    expand-capacity width to survivor width first — exact, see
+    _compact_candidates.
+    """
+    n = states.shape[0]
+    # The selection returns exactly K slots, so the compacted array can
+    # never usefully be narrower than the beam.
+    c2 = max(cfg.select_compact, cfg.beam_size) if cfg.select_compact else 0
+    if compact and 0 < c2 < n:
+        states, lms, costs, payloads, over, needed = _compact_candidates(
+            cfg, states, lms, costs, payloads)
+        return (_select_sorts(cfg, states, lms, costs, payloads),
+                over, needed)
+    return _select_sorts(cfg, states, lms, costs, payloads), \
+        jnp.bool_(False), jnp.int32(0)
+
+
+def _compact_candidates(cfg: BeamConfig, states, lms, costs, payloads):
+    """Beam-threshold prefilter + order-preserving compaction to C2 slots.
+
+    Only candidates with cost <= min + beam can ever enter the beam (the
+    caller applies exactly this threshold after selection), and the
+    threshold commutes with dedup (it drops whole (state, lm) groups or
+    none of a group's min) and with top-K (both orders keep the K cheapest
+    candidates under the cutoff).  min before dedup == min after dedup
+    because dedup keeps group minima.  So filtering FIRST is exact — and
+    typically shrinks the sort width by ~5x (beam occupancy is well under
+    capacity).
+
+    Compaction without scatters: segment the array 512 wide, sort each
+    segment's kept-iota keys (a single-operand sort over rows — log^2(512)
+    stages instead of the full array's log^2(N)), then place survivors by
+    rank with vectorized segment arithmetic + two row gathers.  Survivor
+    order == original candidate order, so every downstream tie-break is
+    unchanged.  More survivors than C2 slots sets the overflow flag
+    (BeamCapacityError at the runtime layer) — same contract as the CSR
+    capacities, sized from hiwater slot 3.
+    """
+    c2 = max(cfg.select_compact, cfg.beam_size)
+    n = states.shape[0]
+    seg = 512
+    npad = -(-n // seg) * seg
+    nseg = npad // seg
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live = states < SENTINEL_STATE
+    mn = jnp.min(costs)  # invalid lanes carry INF
+    # isfinite guards the dead-beam frame: with mn == INF the threshold
+    # INF <= INF would keep every live lane; classic drops them all.
+    keep = live & jnp.isfinite(costs) & (costs <= mn + cfg.beam)
+    keep_p = jnp.pad(keep, (0, npad - n))
+    skey = jnp.where(keep_p, jnp.pad(iota, (0, npad - n)), npad)
+    sk = jax.lax.sort(skey.reshape(nseg, seg)).reshape(npad)
+    counts = jnp.sum(keep_p.reshape(nseg, seg), axis=1, dtype=jnp.int32)
+    ends = jnp.cumsum(counts)
+    total = ends[-1]
+    j = jnp.arange(c2, dtype=jnp.int32)
+    # Segment of output slot j = number of segments fully used before it;
+    # its start offset recovered with a one-hot select (no row gathers on
+    # the tiny [nseg] tables — compare+reduce stays on the VPU).
+    segj = jnp.sum((ends[None, :] <= j[:, None]).astype(jnp.int32), axis=1)
+    segc = jnp.minimum(segj, nseg - 1)
+    onehot = segc[:, None] == jnp.arange(nseg, dtype=jnp.int32)
+    start_j = jnp.sum(jnp.where(onehot, (ends - counts)[None, :], 0),
+                      axis=1)
+    src = sk[jnp.clip(segc * seg + (j - start_j), 0, npad - 1)]
+    valid_j = j < total
+    src = jnp.where(valid_j, src, 0)  # kept skey entries are < n
+    cols = ([states, jax.lax.bitcast_convert_type(costs, jnp.int32)]
+            + ([] if lms is None else [lms]) + list(payloads))
+    packed = jnp.stack(cols, axis=1)[src]  # [C2, F] row gather
+    st = jnp.where(valid_j, packed[:, 0], SENTINEL_STATE)
+    co = jnp.where(valid_j,
+                   jax.lax.bitcast_convert_type(packed[:, 1], jnp.float32),
+                   INF)
+    off = 2 if lms is None else 3
+    lm_out = None if lms is None else packed[:, 2]
+    pay_out = [packed[:, off + i] for i in range(len(payloads))]
+    return st, lm_out, co, pay_out, total > c2, total
+
+
+def _select_sorts(cfg: BeamConfig, states, lms, costs, payloads):
+    """The classic two-sort exact dedup + top-K selection.
 
     Stable sort means ties keep input order, so earlier entries win —
     matching the reference's strict-improvement insert (src/decoder.cc:172).
@@ -416,7 +521,11 @@ def _acoustic_lookup(logp: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
     containing each pdf with a one-hot matmul on the MXU, then pick the
     lane with a VPU mask+reduce.  With HIGHEST precision the one-hot
     matmul is BIT-EXACT (1.0 x value + exact zeros), measured ~2.4x faster
-    than the gather at decoder shapes.
+    than the gather at decoder shapes.  Keep this in XLA, NOT Pallas: in
+    isolation it measures 0.035 ms/frame at bench shapes (XLA fuses the
+    one-hot construction and the mask+reduce around the dot), and a fused
+    Pallas kernel attempt measured 30% SLOWER end-to-end because it broke
+    that surrounding fusion (round-3 negative result).
     """
     p = logp.shape[0]
     blocks = -(-p // 128)
@@ -456,8 +565,9 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     cand_state = jnp.where(c.valid, c.next_state, SENTINEL_STATE)
     cand_cost = jnp.where(c.valid, cost, INF)
     payloads = [c.tok, c.olabel] + ([c.eps] if need_eps else [])
-    states, lms, costs, parent, olab, *eps_info = _select_best(
-        cfg, cand_state, lm_state, cand_cost, payloads)
+    (states, lms, costs, parent, olab, *eps_info), sel_over, sel_needed = \
+        _select_best(cfg, cand_state, lm_state, cand_cost, payloads,
+                     compact=True)
     # Beam threshold: exact equivalent of the adaptive cutoff
     cutoff = costs[0] + cfg.beam
     keep = costs <= cutoff
@@ -466,9 +576,9 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     k = cfg.beam_size
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32),
-                         beam.overflow | c.overflow | lm_over,
+                         beam.overflow | c.overflow | lm_over | sel_over,
                          beam.hiwater.at[0].max(c.needed)
-                         .at[2].max(lm_needed))
+                         .at[2].max(lm_needed).at[3].max(sel_needed))
     return (new_beam, parent, jnp.where(keep, olab, 0), cutoff,
             tuple(eps_info))
 
@@ -520,16 +630,18 @@ def _eps_free_step(cfg: BeamConfig, dfst: DeviceFst,
         lm_state = None
     cand_state = jnp.where(c.valid, c.next_state, SENTINEL_STATE)
     cand_cost = jnp.where(c.valid, cost, INF)
-    states, lms, costs, tok, w0, w1_ = _select_best(
-        cfg, cand_state, lm_state, cand_cost, [c.tok, olab2, c.olabel])
+    (states, lms, costs, tok, w0, w1_), sel_over, sel_needed = _select_best(
+        cfg, cand_state, lm_state, cand_cost, [c.tok, olab2, c.olabel],
+        compact=True)
     cutoff = costs[0] + cfg.beam
     keep = costs <= cutoff
     states = jnp.where(keep, states, -1)
     costs = jnp.where(keep, costs, INF)
     new_beam = BeamState(
         states, lms, costs, jnp.arange(k, dtype=jnp.int32),
-        beam.overflow | c.overflow | lm_over,
-        beam.hiwater.at[0].max(c.needed).at[2].max(lm_needed))
+        beam.overflow | c.overflow | lm_over | sel_over,
+        beam.hiwater.at[0].max(c.needed).at[2].max(lm_needed)
+        .at[3].max(sel_needed))
     words = jnp.stack([jnp.where(keep, w0, 0), jnp.where(keep, w1_, 0)],
                       axis=1)  # [K, 2] newest-first: (eps olab, emit olab)
     return new_beam, jnp.where(keep, tok, 0), words
@@ -586,8 +698,8 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
         m_costs = jnp.concatenate([beam.costs, cand_cost])
         m_ref = jnp.concatenate([beam.bp, c.bp + m])
         m_olab = jnp.concatenate([jnp.zeros_like(beam.bp), c.olabel])
-        states, lms, costs, ref_enc, olab = _select_best(
-            cfg, m_states, m_lms, m_costs, [m_ref, m_olab])
+        (states, lms, costs, ref_enc, olab), sel_over, sel_needed = \
+            _select_best(cfg, m_states, m_lms, m_costs, [m_ref, m_olab])
         iscand = ref_enc >= m
         ref = jnp.where(iscand, ref_enc - m, ref_enc)
         accepted = iscand & (states >= 0)
@@ -598,9 +710,9 @@ def _eps_closure(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
                            jnp.where(accepted, olab, 0)], axis=1)
         arena = jax.lax.dynamic_update_slice(arena, block, (base, 0))
         new_beam = BeamState(states, lms, costs, new_bp,
-                             beam.overflow | c.overflow | lm_over,
+                             beam.overflow | c.overflow | lm_over | sel_over,
                              beam.hiwater.at[1].max(c.needed)
-                             .at[2].max(lm_needed))
+                             .at[2].max(lm_needed).at[3].max(sel_needed))
         return new_beam, arena, j + 1, jnp.any(accepted)
 
     static_depth = dfst.eps_depth
@@ -673,8 +785,9 @@ def _eps_closure_fused(cfg: BeamConfig, dfst: DeviceFst,
         payloads = [m_ref, m_olab]
         if carry_eps:
             payloads.append(jnp.concatenate([eps_meta, c.eps]))
-        states, lms, costs, ref_enc, olab, *eps_out = _select_best(
-            cfg, m_states, m_lms, m_costs, payloads)
+        (states, lms, costs, ref_enc, olab, *eps_out), sel_over, \
+            sel_needed = _select_best(cfg, m_states, m_lms, m_costs,
+                                      payloads)
         eps_info = tuple(eps_out)
         iscand = ref_enc >= k
         r = jnp.clip(jnp.where(iscand, ref_enc - k, ref_enc), 0, k - 1)
@@ -686,9 +799,9 @@ def _eps_closure_fused(cfg: BeamConfig, dfst: DeviceFst,
                           jnp.concatenate([olab[:, None], row[:, 1:]], 1),
                           jnp.concatenate([row[:, 1:], zero], 1))
         beam = BeamState(states, lms, costs, slots,
-                         beam.overflow | c.overflow | lm_over,
+                         beam.overflow | c.overflow | lm_over | sel_over,
                          beam.hiwater.at[1].max(c.needed)
-                         .at[2].max(lm_needed))
+                         .at[2].max(lm_needed).at[3].max(sel_needed))
     return beam, prev, words
 
 
@@ -785,7 +898,7 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
     beam = BeamState(states, lms, costs, bp, jnp.bool_(False),
-                     jnp.zeros((3,), jnp.int32))
+                     jnp.zeros((4,), jnp.int32))
     static = (dfst.eps_depth is not None
               and dfst.eps_depth <= cfg.max_eps_iters)
     if static:
@@ -818,6 +931,15 @@ def decode_chunk(cfg: BeamConfig, has_lm: bool, dfst: DeviceFst,
 
     beam fields are [B, K]; returns (beam', FrameTrace stacked [C, B, ...]).
     """
+    if os.environ.get("CATEARS_TABLE_ROWMAJOR") == "1":
+        from jax.experimental.layout import Layout, with_layout_constraint
+        rm = lambda t: with_layout_constraint(  # noqa: E731
+            t, Layout(tuple(range(t.ndim))))
+        dfst = dataclasses.replace(
+            dfst, emit_block=rm(dfst.emit_block),
+            over_packed=rm(dfst.over_packed),
+            eps_packed=rm(dfst.eps_packed),
+            state_packed=rm(dfst.state_packed))
     dlm_ = dlm if has_lm else None
     step = jax.vmap(
         lambda b, lp, fv: _frame_step(cfg, dfst, dlm_, b, lp, fv),

@@ -160,14 +160,16 @@ class Decoder:
 
     @property
     def capacity_high_water(self) -> tuple:
-        """(emit_overflow, eps, lm_walk) slots the decode actually needed.
+        """(emit_overflow, eps, lm_walk, select_compact) slots the decode
+        actually needed.
 
         Run a representative decode with generous capacities, then size
-        BeamConfig.expand_size / eps_expand_size / lm_expand_size to these
-        marks (plus margin) for a tight deployment geometry.
+        BeamConfig.expand_size / eps_expand_size / lm_expand_size /
+        select_compact to these marks (plus margin) for a tight deployment
+        geometry.
         """
         hw = np.asarray(self.beam.hiwater)[0]
-        return int(hw[0]), int(hw[1]), int(hw[2])
+        return int(hw[0]), int(hw[1]), int(hw[2]), int(hw[3])
 
     def check_capacity(self) -> None:
         if self.overflowed:

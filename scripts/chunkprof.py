@@ -54,7 +54,7 @@ def timed(label, dfst_v=dfst):
     return ms
 
 
-def select_nodedup(cfg_, states, lms, costs, payloads):
+def select_nodedup(cfg_, states, lms, costs, payloads, compact=False):
     """Ablate sort 1: prune sort only, no dedup."""
     k = cfg_.beam_size
     n = states.shape[0]
@@ -68,17 +68,18 @@ def select_nodedup(cfg_, states, lms, costs, payloads):
     lms_out = (jnp.zeros((k,), jnp.int32) if lms is None
                else jnp.where(valid_, payload[:, 1], 0))
     off = 1 if lms is None else 2
-    return ((jnp.where(valid_, payload[:, 0], -1), lms_out,
-             jnp.where(valid_, top_costs, B.INF))
-            + tuple(payload[:, off + i] for i in range(len(payloads))))
+    return (((jnp.where(valid_, payload[:, 0], -1), lms_out,
+              jnp.where(valid_, top_costs, B.INF))
+             + tuple(payload[:, off + i] for i in range(len(payloads)))),
+            jnp.bool_(False), jnp.int32(0))
 
 
-def select_slice(cfg_, states, lms, costs, payloads):
+def select_slice(cfg_, states, lms, costs, payloads, compact=False):
     """Ablate both sorts: first-K slice."""
     k = cfg_.beam_size
     lms_out = jnp.zeros((k,), jnp.int32) if lms is None else lms[:k]
-    return (states[:k], lms_out, costs[:k]) + tuple(
-        p[:k] for p in payloads)
+    return ((states[:k], lms_out, costs[:k]) + tuple(
+        p[:k] for p in payloads)), jnp.bool_(False), jnp.int32(0)
 
 
 print(f"# batch={batch} beam={cfg.beam_size} expand={cfg.expand_size} "

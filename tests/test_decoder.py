@@ -332,7 +332,7 @@ class TestOverflowSafety:
         dec.end_of_stream()
         assert not dec.overflowed
         hyp = dec.best_path()
-        hw_emit, hw_eps, _ = dec.capacity_high_water
+        hw_emit, hw_eps, _, _ = dec.capacity_high_water
         assert 0 < hw_emit <= big.expand_size
         assert 0 < hw_eps <= big.eps_expand_size
 
@@ -362,7 +362,7 @@ class TestOverflowSafety:
         dec4.process(logp)
         dec4.end_of_stream()
         assert not dec4.overflowed
-        hw4_emit, _, _ = dec4.capacity_high_water
+        hw4_emit, _, _, _ = dec4.capacity_high_water
         tight4 = BeamConfig(beam_size=64, expand_size=max(hw4_emit, 1),
                             eps_expand_size=64, max_eps_iters=6, beam=1e9)
         dec5 = Decoder(fst, graph.tid2pdf, config=tight4, arc_group=1)
@@ -529,3 +529,55 @@ class TestTrieGraph:
         # no BeamCapacityError raised = no overflow at auto capacity; the
         # decode still tracks the planted paths
         assert hyps[0].words[:len(words[0])] == words[0]
+
+
+class TestSelectCompact:
+    """Threshold-prefilter + compaction selection (BeamConfig.select_compact)
+    must be bit-equivalent to the classic full-width sorts, and truncation
+    must be loud (same contract as the CSR capacities)."""
+
+    def _setup(self):
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+        rng = np.random.RandomState(3)
+        g = make_trie_graph(rng, num_words=120, num_phones=25,
+                            bigram_states=30, variants=2)
+        logp, _ = plant_logp(rng, g, 1, 120)
+        return g, logp[0]
+
+    def _decode(self, g, logp, beam=12.0, **kw):
+        cfg = BeamConfig(beam_size=256, expand_size=2048,
+                         eps_expand_size=1024, max_eps_iters=4,
+                         beam=beam, am_scale=0.1, **kw)
+        dec = Decoder(g.fst, g.tid2pdf, config=cfg, chunk_frames=7)
+        dec.process(logp)
+        dec.end_of_stream()
+        return dec
+
+    def test_compact_matches_classic(self):
+        g, logp = self._setup()
+        ref = self._decode(g, logp)
+        com = self._decode(g, logp, select_compact=1024)
+        assert not com.overflowed
+        a, b = ref.best_path(), com.best_path()
+        assert a.words == b.words
+        assert abs(a.weight - b.weight) < 1e-5
+        # demand telemetry reported and sizing to it round-trips
+        need = com.capacity_high_water[3]
+        assert 0 < need <= 1024
+        tight = self._decode(g, logp, select_compact=need)
+        assert not tight.overflowed
+        assert tight.best_path().words == a.words
+
+    def test_compact_overflow_is_loud(self):
+        from catears_tpu.utils.errors import BeamCapacityError
+        g, logp = self._setup()
+        # beam=1e9 disables the threshold, so every valid candidate
+        # survives the prefilter and the K-clamped compact capacity
+        # (256 slots) must truncate — loudly.
+        need = self._decode(g, logp, beam=1e9, select_compact=2048) \
+            .capacity_high_water[3]
+        assert need > 256
+        small = self._decode(g, logp, beam=1e9, select_compact=1)
+        assert small.overflowed
+        with pytest.raises(BeamCapacityError):
+            small.best_path()
