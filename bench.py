@@ -65,13 +65,17 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         fst, tid2pdf, num_pdfs = tg.fst, tg.tid2pdf, tg.num_pdfs
         planted, true_words = plant_logp(rng, tg, batch,
                                          num_frames(samples))
-        # Geometry from the round-3 on-chip sweep (scripts/frameprof.py):
-        # block G=2 covers 99% of trie states' fanout with half the block
-        # candidates of G=4; csr_group=8 fetches the high-fanout tail in
-        # half the gather rows.  expand sized from the measured capacity
-        # high-water mark + headroom; the warmup asserts no overflow and
-        # reports the marks, so resizing after a graph change is mechanical.
-        group, beam, expand, eps_expand = 2, 4096, 36864, 1024
+        # Geometry from the round-4 on-chip sweep: block G=2 covers 99%
+        # of trie states' fanout; csr_group=16 fetches the high-fanout
+        # tail in half the gather rows of csr=8 (row width still cheap at
+        # 320B; csr=32 measured slower).  Beam 2048 matches beam 4096's
+        # WER plateau at the harder amp=8 workload (scripts/wercurve.py)
+        # once expand_size is decoupled from the beam — halving the
+        # emit_block gather rows and the selection sort width.  expand
+        # sized from the measured capacity high-water mark (31008) +
+        # margin; the warmup asserts no overflow and reports the marks,
+        # so resizing after a graph change is mechanical.
+        group, beam, expand, eps_expand = 2, 2048, 32768, 1024
     else:
         num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
         num_words = int(os.environ.get("BENCH_WORDS", 2000))
@@ -96,7 +100,7 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     fst, olab2, mode = prepare_decode_graph(fst)
     print(f"# decode graph mode={mode}: {fst.num_states} states, "
           f"{fst.num_arcs} arcs", file=sys.stderr)
-    csr_default = 8 if kind == "trie" else 0
+    csr_default = 16 if kind == "trie" else 0
     dfst = DeviceFst.build(fst, tid2pdf,
                            group=int(os.environ.get("BENCH_GROUP", group)),
                            csr_group=int(os.environ.get("BENCH_CSR_GROUP",
@@ -119,7 +123,8 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         # lm high-water mark of an uncapped run, like the CSR capacities.
         lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND", 0)),
         # Selection compaction (0 = classic full-width sorts); size from
-        # hiwater slot 3 of an uncapped run, like the CSR capacities.
+        # hiwater slot 3, which reports survivor demand even when
+        # compaction is off.
         select_compact=int(os.environ.get("BENCH_SELECT_COMPACT", 0)),
         max_eps_iters=3,
         beam=16.0,
@@ -219,8 +224,9 @@ def main():
     assert np.isfinite(costs).any(), "beam died"
     hw = hiwater.max(axis=0)  # (emit_overflow, eps, lm, select) slots actually needed
     assert not overflow.any(), (
-        f"arc expansion overflowed: needed (emit_over, eps) <= {tuple(hw)}; "
-        f"raise BENCH_EXPAND/BENCH_EPS_EXPAND")
+        f"capacity overflowed: needed (emit_over, eps, lm, select) <= "
+        f"{tuple(hw)}; raise BENCH_EXPAND/BENCH_EPS_EXPAND/"
+        f"BENCH_LM_EXPAND/BENCH_SELECT_COMPACT respectively")
     wer = None
     if true_words is not None:
         from catears_tpu.tools.score import edit_distance

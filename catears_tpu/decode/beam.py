@@ -44,6 +44,12 @@ from catears_tpu.graph.device import (
 INF = jnp.float32(jnp.inf)
 SENTINEL_STATE = jnp.int32(2**30)  # sorts after every real state
 
+# Arc-table layout override, read ONCE at import: decode_chunk's trace is
+# cached per (cfg, shapes), so an env change after the first trace would be
+# silently ignored — a module constant makes the set-before-import contract
+# explicit.
+_TABLE_ROWMAJOR = os.environ.get("CATEARS_TABLE_ROWMAJOR") == "1"
+
 
 @dataclass(frozen=True)
 class BeamConfig:
@@ -110,7 +116,9 @@ class BeamState(NamedTuple):
     # (emitting overflow CSR, epsilon CSR, delta-LM walk, select compact) —
     # read it after a decode with generous capacities to size expand_size/
     # eps_expand_size/lm_expand_size/select_compact tightly for a
-    # deployment (Decoder.capacity_high_water).
+    # deployment (Decoder.capacity_high_water).  Slot 3 (beam-threshold
+    # survivor demand) is reported even with select_compact=0, so sizing
+    # the compaction never needs a prior compacted run.
     hiwater: jnp.ndarray  # i32 [4]
 
 
@@ -137,61 +145,45 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payloads,
 
     Returns ((states, lms, costs, *payload_columns), overflow, needed):
     the kept K slots plus the select-compact truncation flag and demand
-    (always (False, 0) on the classic path).
+    (always False overflow on the classic path; demand is reported
+    whenever compact=True so sizing select_compact never needs a prior
+    compacted run).
 
     When cfg.select_compact is set AND the caller opted in (compact=True —
     only valid where the caller applies the beam threshold to the selected
-    beam immediately afterwards; the init-time closure runs with
-    cutoff=INF and must not prefilter), the beam-threshold prefilter +
-    compaction in _compact_candidates shrinks the sorts from
-    expand-capacity width to survivor width first — exact, see
-    _compact_candidates.
+    beam immediately afterwards; the closure merge selections keep beam
+    entries unconditionally and must not prefilter), the selection runs
+    _select_compacted: dedup sort, then compact the POST-dedup survivors
+    under the beam threshold before pruning — the second full-width sort
+    shrinks to C2 lanes, or disappears entirely at C2 == K.
     """
     n = states.shape[0]
     # The selection returns exactly K slots, so the compacted array can
     # never usefully be narrower than the beam.
     c2 = max(cfg.select_compact, cfg.beam_size) if cfg.select_compact else 0
     if compact and 0 < c2 < n:
-        states, lms, costs, payloads, over, needed = _compact_candidates(
-            cfg, states, lms, costs, payloads)
-        return (_select_sorts(cfg, states, lms, costs, payloads),
-                over, needed)
-    return _select_sorts(cfg, states, lms, costs, payloads), \
-        jnp.bool_(False), jnp.int32(0)
+        return _select_compacted(cfg, c2, states, lms, costs, payloads)
+    out, demand = _select_sorts(cfg, states, lms, costs, payloads,
+                                report_demand=compact)
+    return out, jnp.bool_(False), demand
 
 
-def _compact_candidates(cfg: BeamConfig, states, lms, costs, payloads):
-    """Beam-threshold prefilter + order-preserving compaction to C2 slots.
-
-    Only candidates with cost <= min + beam can ever enter the beam (the
-    caller applies exactly this threshold after selection), and the
-    threshold commutes with dedup (it drops whole (state, lm) groups or
-    none of a group's min) and with top-K (both orders keep the K cheapest
-    candidates under the cutoff).  min before dedup == min after dedup
-    because dedup keeps group minima.  So filtering FIRST is exact — and
-    typically shrinks the sort width by ~5x (beam occupancy is well under
-    capacity).
+def _compact_mask(keep: jnp.ndarray, cols, c2: int):
+    """Order-preserving compaction of masked lanes into C2 slots.
 
     Compaction without scatters: segment the array 512 wide, sort each
     segment's kept-iota keys (a single-operand sort over rows — log^2(512)
     stages instead of the full array's log^2(N)), then place survivors by
     rank with vectorized segment arithmetic + two row gathers.  Survivor
-    order == original candidate order, so every downstream tie-break is
-    unchanged.  More survivors than C2 slots sets the overflow flag
-    (BeamCapacityError at the runtime layer) — same contract as the CSR
-    capacities, sized from hiwater slot 3.
+    order == input order.  Returns (compacted i32 columns, valid mask
+    [C2], total survivors); lanes past `total` read column 0's lane 0 —
+    mask with `valid`.
     """
-    c2 = max(cfg.select_compact, cfg.beam_size)
-    n = states.shape[0]
+    n = keep.shape[0]
     seg = 512
     npad = -(-n // seg) * seg
     nseg = npad // seg
     iota = jnp.arange(n, dtype=jnp.int32)
-    live = states < SENTINEL_STATE
-    mn = jnp.min(costs)  # invalid lanes carry INF
-    # isfinite guards the dead-beam frame: with mn == INF the threshold
-    # INF <= INF would keep every live lane; classic drops them all.
-    keep = live & jnp.isfinite(costs) & (costs <= mn + cfg.beam)
     keep_p = jnp.pad(keep, (0, npad - n))
     skey = jnp.where(keep_p, jnp.pad(iota, (0, npad - n)), npad)
     sk = jax.lax.sort(skey.reshape(nseg, seg)).reshape(npad)
@@ -210,25 +202,91 @@ def _compact_candidates(cfg: BeamConfig, states, lms, costs, payloads):
     src = sk[jnp.clip(segc * seg + (j - start_j), 0, npad - 1)]
     valid_j = j < total
     src = jnp.where(valid_j, src, 0)  # kept skey entries are < n
-    cols = ([states, jax.lax.bitcast_convert_type(costs, jnp.int32)]
-            + ([] if lms is None else [lms]) + list(payloads))
-    packed = jnp.stack(cols, axis=1)[src]  # [C2, F] row gather
-    st = jnp.where(valid_j, packed[:, 0], SENTINEL_STATE)
-    co = jnp.where(valid_j,
-                   jax.lax.bitcast_convert_type(packed[:, 1], jnp.float32),
-                   INF)
-    off = 2 if lms is None else 3
-    lm_out = None if lms is None else packed[:, 2]
-    pay_out = [packed[:, off + i] for i in range(len(payloads))]
-    return st, lm_out, co, pay_out, total > c2, total
+    packed = jnp.stack(list(cols), axis=1)[src]  # [C2, F] row gather
+    return [packed[:, i] for i in range(len(cols))], valid_j, total
 
 
-def _select_sorts(cfg: BeamConfig, states, lms, costs, payloads):
+def _select_compacted(cfg: BeamConfig, c2: int, states, lms, costs,
+                      payloads):
+    """Dedup sort, then compact survivors BEFORE the prune sort.
+
+    Only candidates that (a) win their (state, lm) dedup group and
+    (b) satisfy the beam threshold cost <= min + beam can reach the final
+    beam — the caller applies exactly that threshold after selection, and
+    min-before-dedup == min-after-dedup because dedup keeps group minima.
+    So after the (unavoidable, full-width) dedup sort, the survivors are
+    compacted into C2 slots in dedup-sort order and the prune runs at C2
+    width instead of expansion width:
+
+      C2 > K:  a C2-wide stable sort by cost (tie-break = dedup-sort
+               position, exactly the classic prune key) then top-K.
+      C2 == K: NO second sort at all — every survivor fits the beam, so
+               the compaction IS the selection.  The returned beam is in
+               dedup-sort (state) order rather than cost order; the beam
+               contract requires only that the true min cost is present
+               (callers use min(costs), not costs[0]) and that slot order
+               is internally consistent with the returned backpointers.
+
+    More survivors than C2 slots sets the overflow flag (BeamCapacityError
+    at the runtime layer) — same contract as the CSR capacities, sized
+    from hiwater slot 3.
+    """
+    k = cfg.beam_size
+    n = states.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if lms is None:
+        s_states, s_costs, s_iota = jax.lax.sort(
+            (states, costs, iota), num_keys=2)
+        first = jnp.ones_like(s_states, jnp.bool_)
+        first = first.at[1:].set(s_states[1:] != s_states[:-1])
+    else:
+        s_states, s_lms, s_costs, s_iota = jax.lax.sort(
+            (states, lms, costs, iota), num_keys=3)
+        first = jnp.ones_like(s_states, jnp.bool_)
+        first = first.at[1:].set((s_states[1:] != s_states[:-1])
+                                 | (s_lms[1:] != s_lms[:-1]))
+    mn = jnp.min(costs)  # == min after dedup (dedup keeps group minima)
+    # isfinite guards the dead-beam frame: with mn == INF the threshold
+    # INF <= INF would keep every live lane.
+    keep = (first & (s_states < SENTINEL_STATE) & jnp.isfinite(s_costs)
+            & (s_costs <= mn + cfg.beam))
+    (c_cost_b, c_iota), c_valid, total = _compact_mask(
+        keep, [jax.lax.bitcast_convert_type(s_costs, jnp.int32), s_iota],
+        c2)
+    c_cost = jnp.where(c_valid,
+                       jax.lax.bitcast_convert_type(c_cost_b, jnp.float32),
+                       INF)
+    if c2 > k:
+        # Prune at C2 width: stable sort keeps compaction order
+        # (== dedup-sort position) on cost ties — the classic prune key.
+        top_costs, top_iota = jax.lax.sort((c_cost, c_iota), num_keys=1)
+        sel_cost, sel_iota = top_costs[:k], top_iota[:k]
+    else:
+        sel_cost, sel_iota = c_cost, c_iota
+    valid = jnp.isfinite(sel_cost)
+    cols = [states] + ([] if lms is None else [lms]) + list(payloads)
+    payload = jnp.stack(cols, axis=1)[jnp.where(valid, sel_iota, 0)]
+    lms_out = (jnp.zeros((k,), jnp.int32) if lms is None
+               else jnp.where(valid, payload[:, 1], 0))
+    off = 1 if lms is None else 2
+    out = (
+        jnp.where(valid, payload[:, 0], -1),
+        lms_out,
+        jnp.where(valid, sel_cost, INF),
+    ) + tuple(payload[:, off + i] for i in range(len(payloads)))
+    return out, total > c2, total
+
+
+def _select_sorts(cfg: BeamConfig, states, lms, costs, payloads,
+                  report_demand: bool = False):
     """The classic two-sort exact dedup + top-K selection.
 
     Stable sort means ties keep input order, so earlier entries win —
     matching the reference's strict-improvement insert (src/decoder.cc:172).
-    Returns (states, lms, costs, *payload_columns) at the kept K slots.
+    Returns ((states, lms, costs, *payload_columns) at the kept K slots,
+    demand), where demand is the post-dedup beam-threshold survivor count
+    (hiwater slot 3 sizing for select_compact) when report_demand is set,
+    else 0.
 
     lms may be None (no delta-LM): drops a sort key AND an operand.  The
     payloads ride through the sorts as one iota operand and are recovered
@@ -256,6 +314,12 @@ def _select_sorts(cfg: BeamConfig, states, lms, costs, payloads):
         first = first.at[1:].set((s_states[1:] != s_states[:-1])
                                  | (s_lms[1:] != s_lms[:-1]))
     eff_cost = jnp.where(first & (s_states < SENTINEL_STATE), s_costs, INF)
+    if report_demand:
+        mn = jnp.min(costs)
+        demand = jnp.sum((jnp.isfinite(eff_cost)
+                          & (eff_cost <= mn + cfg.beam)).astype(jnp.int32))
+    else:
+        demand = jnp.int32(0)
     # Prune sort carries ONLY (eff_cost, original index): every other field
     # — state, lm, payloads — is recovered by a single packed row gather of
     # the kept K slots, instead of riding every bitonic pass as an operand
@@ -273,7 +337,7 @@ def _select_sorts(cfg: BeamConfig, states, lms, costs, payloads):
         jnp.where(valid, payload[:, 0], -1),
         lms_out,
         jnp.where(valid, top_costs, INF),
-    ) + tuple(payload[:, off + i] for i in range(len(payloads)))
+    ) + tuple(payload[:, off + i] for i in range(len(payloads))), demand
 
 
 class Cands(NamedTuple):
@@ -568,8 +632,10 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     (states, lms, costs, parent, olab, *eps_info), sel_over, sel_needed = \
         _select_best(cfg, cand_state, lm_state, cand_cost, payloads,
                      compact=True)
-    # Beam threshold: exact equivalent of the adaptive cutoff
-    cutoff = costs[0] + cfg.beam
+    # Beam threshold: exact equivalent of the adaptive cutoff.  min, not
+    # costs[0]: the compacted selection returns the beam in dedup-sort
+    # order, so slot 0 need not hold the cheapest token.
+    cutoff = jnp.min(costs) + cfg.beam
     keep = costs <= cutoff
     states = jnp.where(keep, states, -1)
     costs = jnp.where(keep, costs, INF)
@@ -633,7 +699,10 @@ def _eps_free_step(cfg: BeamConfig, dfst: DeviceFst,
     (states, lms, costs, tok, w0, w1_), sel_over, sel_needed = _select_best(
         cfg, cand_state, lm_state, cand_cost, [c.tok, olab2, c.olabel],
         compact=True)
-    cutoff = costs[0] + cfg.beam
+    # min, not costs[0]: see _emitting_step (compacted beams are
+    # state-ordered).  With compaction active every surviving slot already
+    # satisfies the threshold, so keep only masks the padding lanes.
+    cutoff = jnp.min(costs) + cfg.beam
     keep = costs <= cutoff
     states = jnp.where(keep, states, -1)
     costs = jnp.where(keep, costs, INF)
@@ -931,7 +1000,7 @@ def decode_chunk(cfg: BeamConfig, has_lm: bool, dfst: DeviceFst,
 
     beam fields are [B, K]; returns (beam', FrameTrace stacked [C, B, ...]).
     """
-    if os.environ.get("CATEARS_TABLE_ROWMAJOR") == "1":
+    if _TABLE_ROWMAJOR:
         from jax.experimental.layout import Layout, with_layout_constraint
         rm = lambda t: with_layout_constraint(  # noqa: E731
             t, Layout(tuple(range(t.ndim))))

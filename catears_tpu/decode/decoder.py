@@ -30,7 +30,7 @@ from catears_tpu.utils.errors import BeamCapacityError
 
 def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
                 has_lm: bool, csr_group: int = None,
-                lm_dup_factor: int = 4, one_pass: bool = False) -> BeamConfig:
+                lm_dup_factor: int = 4) -> BeamConfig:
     """Raise base's expansion capacities to the graph's worst case.
 
     Without a delta-LM the bound is exact and the decoder can NEVER
@@ -49,13 +49,11 @@ def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
     import dataclasses
 
     eb, epsb = expansion_bounds(fst, arc_group, base.beam_size,
-                                distinct_states=True, csr_group=csr_group,
-                                one_pass=one_pass)
+                                distinct_states=True, csr_group=csr_group)
     if has_lm:
         eb_w, epsb_w = expansion_bounds(fst, arc_group, base.beam_size,
                                         distinct_states=False,
-                                        csr_group=csr_group,
-                                        one_pass=one_pass)
+                                        csr_group=csr_group)
         eb = min(eb_w, lm_dup_factor * eb)
         epsb = min(epsb_w, lm_dup_factor * epsb)
     return dataclasses.replace(

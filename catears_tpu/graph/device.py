@@ -43,8 +43,7 @@ def _per_state_arc_counts(fst: FlatFst):
 def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
                      distinct_states: bool = True,
                      csr_group: Optional[int] = None,
-                     eps_group: Optional[int] = None,
-                     one_pass: bool = False) -> Tuple[int, int]:
+                     eps_group: Optional[int] = None) -> Tuple[int, int]:
     """Worst-case (expand_size, eps_expand_size) for a beam of K tokens.
 
     The emitting expansion's CSR overflow pass allocates ceil(max(n_emit
@@ -56,12 +55,6 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
     src/decoder.cc:337-377); smaller capacities are guarded by the
     runtime overflow flag in decode.beam.
 
-    one_pass=True sizes the epsilon capacity for the depth-1 fused frame
-    (decode.beam._one_pass_step), where closure children expand from ALL
-    of a token's emitting candidates: the per-state row demand becomes
-    the sum of eps rows over every emitting arc's destination (self-loop
-    included).
-
     With delta-LM rescoring the beam dedups on (state, lm) pairs, so all K
     tokens can share one state — pass distinct_states=False for the
     K * max-rows bound instead of the top-K-distinct sum.
@@ -71,16 +64,6 @@ def expansion_bounds(fst: FlatFst, group: int, beam_size: int,
     n_eps, n_emit = _per_state_arc_counts(fst)
     over_rows = -(-np.maximum(n_emit - group, 0) // gc)
     eps_rows = -(-n_eps // ge)
-    if one_pass:
-        # Per-source-state epsilon row demand: eps rows of every emitting
-        # arc's destination (candidates pre-dedup), incl. the self-loop.
-        n_all = np.diff(fst.offsets.astype(np.int64))
-        state_of_arc = np.repeat(np.arange(fst.num_states), n_all)
-        emit = fst.arc_ilabel != 0
-        eps_demand = np.zeros(fst.num_states, np.int64)
-        np.add.at(eps_demand, state_of_arc[emit],
-                  eps_rows[fst.arc_next[emit]])
-        eps_rows = eps_demand
 
     def worst(rows: np.ndarray) -> int:
         if rows.size == 0:

@@ -152,9 +152,11 @@ def stage_select_only(beam, logp):
     states = (beam.states[iota % cfg.beam_size] * 7 + iota // 13) % \
         dfst.num_states
     costs = beam.costs[iota % cfg.beam_size] + (iota % 97) * 0.01
-    out = B._select_best(cfg, states, None, costs,
-                         [iota % cfg.beam_size, iota % 31])
-    return collapse(*[o.astype(jnp.float32) for o in out])
+    (out, _over, needed) = B._select_best(cfg, states, None, costs,
+                                          [iota % cfg.beam_size, iota % 31],
+                                          compact=True)
+    return collapse(needed[None].astype(jnp.float32),
+                    *[o.astype(jnp.float32) for o in out])
 
 
 def timeit(name, fn):

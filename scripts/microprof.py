@@ -23,7 +23,7 @@ from catears_tpu.decode import beam as B  # noqa: E402
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 FRAMES = int(os.environ.get("PROF_FRAMES", 100))
 
-am, fst, dfst, cfg, wave, planted, _tw = build_bench_setup(BATCH, 10.0)
+am, fst, dfst, _dlm, cfg, wave, planted, _tw = build_bench_setup(BATCH, 10.0)
 if os.environ.get("PROF_GROUP"):
     from catears_tpu.graph.device import DeviceFst
     dfst = DeviceFst.build(fst, am.tid2pdf,
@@ -86,10 +86,10 @@ def emit_only(b, lp):
 
 def expand_only(b, lp):
     def one(bb, l):
-        out = B._expand(cfg, dfst, bb, cfg.expand_size, True, False, False)
-        ac = -cfg.am_scale * B._acoustic_lookup(l, out[8])
-        cost = out[2] + out[7] + ac
-        s = cost.sum() + out[5].sum()
+        c = B._expand(cfg, dfst, bb, cfg.expand_size, True, False, False)
+        ac = -cfg.am_scale * B._acoustic_lookup(l, c.pdf)
+        cost = c.cost + ac
+        s = cost.sum() + c.next_state.sum().astype(jnp.float32)
         return B.BeamState(bb.states, bb.lm, bb.costs + 0.0 * s, bb.bp,
                            bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
@@ -97,10 +97,13 @@ def expand_only(b, lp):
 
 def emit_close(b, lp):
     def one(bb, l):
-        nb, arena, cutoff = B._emitting_step(cfg, dfst, None, bb, l)
-        nb, arena = B._eps_closure(cfg, dfst, None, nb, arena, cutoff)
+        nb, parent, olab0, cutoff, eps_info = B._emitting_step(
+            cfg, dfst, None, bb, l)
+        nb, prev, words = B._eps_closure_fused(cfg, dfst, None, nb, parent,
+                                               olab0, eps_info, cutoff)
+        s = prev.sum() + words.sum()
         return B.BeamState(nb.states, nb.lm,
-                           nb.costs + 0.0 * arena.sum(), nb.bp,
+                           nb.costs + 0.0 * s.astype(jnp.float32), nb.bp,
                            nb.overflow, nb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
 
@@ -121,7 +124,8 @@ def select_only(b, lp):
         idx = jnp.arange(e, dtype=jnp.int32)
         states = idx % jnp.int32(50021)
         costs = l[idx % am.num_pdfs]
-        s, lm, c, pa, pb = B._select_best(cfg, states, None, costs, [idx, idx])
+        (s, lm, c, pa, pb), _over, _need = B._select_best(
+            cfg, states, None, costs, [idx, idx])
         return B.BeamState(s, lm, c + 0.0 * (pa.sum() + pb.sum()),
                            bb.bp, bb.overflow, bb.hiwater)
     return jax.vmap(one, in_axes=(0, 0))(b, lp)
