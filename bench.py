@@ -178,87 +178,120 @@ def main():
 
         return jax.vmap(one)(wave)  # [B, T, P]
 
-    def run_once():
-        logp = am_forward(wave)
-        logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P]
-        if planted_dev is not None:
-            # Planted path frames dominate; the 1e-3 AM term keeps the AM
-            # forward in the measured graph without disturbing the paths.
-            logp_t = planted_dev + 1e-3 * logp_t
-        beam, init_trace = init_beam_batch(cfg, has_lm, batch, dfst, dlm)
-        chunks = []
-        for off in range(0, t_frames, chunk):
-            n = min(chunk, t_frames - off)
-            # Pad the tail to the full chunk length (single compiled shape)
-            if n == chunk:
-                lp = jax.lax.dynamic_slice_in_dim(logp_t, off, n, axis=0)
-            else:
-                lp = jnp.concatenate(
-                    [logp_t[off:off + n],
-                     jnp.zeros((chunk - n, batch, logp_t.shape[2]),
-                               jnp.float32)])
-            valid = jnp.zeros((chunk, batch), bool).at[:n].set(True)
-            beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam, lp,
-                                       valid)
-            chunks.append(jax.tree.map(lambda x: x[:n], trace))
-        traces = FrameTrace(
-            jnp.concatenate([init_trace.prev_slot[None]]
-                            + [c.prev_slot for c in chunks]),
-            jnp.concatenate([init_trace.words[None]]
-                            + [c.words for c in chunks]))
-        total = beam.costs + jnp.where(
-            beam.states >= 0, dfst.final[jnp.maximum(beam.states, 0)],
-            jnp.inf)
-        has_final = jnp.isfinite(total).any(axis=1)
-        best_slots = jnp.where(has_final, jnp.argmin(total, axis=1),
-                               jnp.argmin(beam.costs, axis=1)).astype(
-                                   jnp.int32)
-        words = backtrace_device(traces, best_slots)
-        return (np.asarray(words), np.asarray(beam.costs),
-                np.asarray(beam.overflow), np.asarray(beam.hiwater))
+    def measure(cfg, dlm, tag):
+        has_lm = dlm is not None
 
-    # Warmup / compile
-    words, costs, overflow, hiwater = run_once()
-    hyps = [assemble_words(words[b]) for b in range(batch)]
-    hyp0 = hyps[0]
-    assert np.isfinite(costs).any(), "beam died"
-    hw = hiwater.max(axis=0)  # (emit_overflow, eps, lm, select) slots actually needed
-    assert not overflow.any(), (
-        f"capacity overflowed: needed (emit_over, eps, lm, select) <= "
-        f"{tuple(hw)}; raise BENCH_EXPAND/BENCH_EPS_EXPAND/"
-        f"BENCH_LM_EXPAND/BENCH_SELECT_COMPACT respectively")
-    wer = None
-    if true_words is not None:
-        from catears_tpu.tools.score import edit_distance
-        errs = sum(edit_distance(true_words[b], hyps[b])[0]
-                   for b in range(batch))
-        ref_len = max(1, sum(len(t) for t in true_words))
-        wer = errs / ref_len
+        def run_once():
+            logp = am_forward(wave)
+            logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P]
+            if planted_dev is not None:
+                # Planted path frames dominate; the 1e-3 AM term keeps
+                # the AM forward in the measured graph without disturbing
+                # the planted paths.
+                logp_t = planted_dev + 1e-3 * logp_t
+            beam, init_trace = init_beam_batch(cfg, has_lm, batch, dfst,
+                                               dlm)
+            chunks = []
+            for off in range(0, t_frames, chunk):
+                n = min(chunk, t_frames - off)
+                # Pad the tail to the full chunk (single compiled shape)
+                if n == chunk:
+                    lp = jax.lax.dynamic_slice_in_dim(logp_t, off, n,
+                                                      axis=0)
+                else:
+                    lp = jnp.concatenate(
+                        [logp_t[off:off + n],
+                         jnp.zeros((chunk - n, batch, logp_t.shape[2]),
+                                   jnp.float32)])
+                valid = jnp.zeros((chunk, batch), bool).at[:n].set(True)
+                beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam,
+                                           lp, valid)
+                chunks.append(jax.tree.map(lambda x: x[:n], trace))
+            traces = FrameTrace(
+                jnp.concatenate([init_trace.prev_slot[None]]
+                                + [c.prev_slot for c in chunks]),
+                jnp.concatenate([init_trace.words[None]]
+                                + [c.words for c in chunks]))
+            total = beam.costs + jnp.where(
+                beam.states >= 0, dfst.final[jnp.maximum(beam.states, 0)],
+                jnp.inf)
+            has_final = jnp.isfinite(total).any(axis=1)
+            best_slots = jnp.where(has_final, jnp.argmin(total, axis=1),
+                                   jnp.argmin(beam.costs, axis=1)).astype(
+                                       jnp.int32)
+            words = backtrace_device(traces, best_slots)
+            return (np.asarray(words), np.asarray(beam.costs),
+                    np.asarray(beam.overflow), np.asarray(beam.hiwater))
 
-    runs = int(os.environ.get("BENCH_RUNS", 3))
-    times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
+        # Warmup / compile
         words, costs, overflow, hiwater = run_once()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    audio_seconds = batch * seconds
-    value = audio_seconds / best
-    print(json.dumps({
+        hyps = [assemble_words(words[b]) for b in range(batch)]
+        assert np.isfinite(costs).any(), "beam died"
+        hw = hiwater.max(axis=0)  # slots actually needed
+        assert not overflow.any(), (
+            f"capacity overflowed: needed (emit_over, eps, lm, select) <= "
+            f"{tuple(hw)}; raise BENCH_EXPAND/BENCH_EPS_EXPAND/"
+            f"BENCH_LM_EXPAND/BENCH_SELECT_COMPACT respectively")
+        wer = None
+        if true_words is not None:
+            from catears_tpu.tools.score import edit_distance
+            errs = sum(edit_distance(true_words[b], hyps[b])[0]
+                       for b in range(batch))
+            ref_len = max(1, sum(len(t) for t in true_words))
+            wer = errs / ref_len
+
+        runs = int(os.environ.get("BENCH_RUNS", 3))
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            words, costs, overflow, hiwater = run_once()
+            times.append(time.perf_counter() - t0)
+        value = batch * seconds / min(times)
+        n_words = sum(len(h) for h in hyps)
+        occupancy = float(np.isfinite(costs).mean())
+        extra = "" if wer is None else f", WER={wer:.3f}"
+        print(f"# [{tag}] graph={os.environ.get('BENCH_GRAPH', 'trie')} "
+              f"lm={int(has_lm)} batch={batch} x {seconds}s, "
+              f"frames={t_frames}, beam={cfg.beam_size}, "
+              f"times={[round(t, 3) for t in times]}, "
+              f"hyp0_words={len(hyps[0])}, words/audio-sec="
+              f"{n_words / (batch * seconds):.2f}, "
+              f"beam_occupancy={occupancy:.3f}, "
+              f"capacity_hiwater={tuple(hw)}{extra}", file=sys.stderr)
+        return value, wer
+
+    value, wer = measure(cfg, dlm, "lm-on" if dlm is not None else "lm-off")
+    record = {
         "metric": "audio_seconds_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "xRT",
         "vs_baseline": round(value, 3),
-    }))
-    n_words = sum(len(h) for h in hyps)
-    occupancy = float(np.isfinite(costs).mean())
-    extra = "" if wer is None else f", WER={wer:.3f}"
-    print(f"# graph={os.environ.get('BENCH_GRAPH', 'trie')} "
-          f"lm={int(has_lm)} batch={batch} x {seconds}s, frames={t_frames}, "
-          f"beam={cfg.beam_size}, times={[round(t, 3) for t in times]}, "
-          f"hyp0_words={len(hyp0)}, words/audio-sec="
-          f"{n_words / audio_seconds:.2f}, beam_occupancy={occupancy:.3f}, "
-          f"capacity_hiwater={tuple(hw)}{extra}", file=sys.stderr)
+    }
+    if wer is not None:
+        record["wer"] = round(wer, 4)
+    # The production config includes on-the-fly delta-LM rescoring
+    # (reference src/fst.cc:199-290): unless the headline itself ran
+    # LM-on (BENCH_LM=1) or it is explicitly skipped, measure it too so
+    # the driver artifact always carries rescoring evidence.
+    if dlm is None and os.environ.get("BENCH_SKIP_LM") != "1" \
+            and os.environ.get("BENCH_GRAPH", "trie") == "trie":
+        from catears_tpu.graph.device import DeviceLm
+        from catears_tpu.tools.biggraph import make_big_lm
+        num_words = int(os.environ.get("BENCH_WORDS", 50000))
+        big = make_big_lm(np.random.RandomState(0), num_words=num_words)
+        dlm2 = DeviceLm.build(big.delta_lm())
+        print(f"# delta-LM G': {big.num_states} states, {big.num_arcs} "
+              f"arcs", file=sys.stderr)
+        import dataclasses
+        cfg_lm = dataclasses.replace(
+            cfg, lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND",
+                                                   512)))
+        lm_value, lm_wer = measure(cfg_lm, dlm2, "lm-on")
+        record["lm_on_xrt"] = round(lm_value, 3)
+        record["lm_on_ratio_off_over_on"] = round(value / lm_value, 3)
+        if lm_wer is not None:
+            record["lm_on_wer"] = round(lm_wer, 4)
+    print(json.dumps(record))
     return 0
 
 
@@ -283,16 +316,19 @@ def main_streaming():
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     rng = np.random.RandomState(0)
     with tempfile.TemporaryDirectory() as model_dir:
+        with_lm = os.environ.get("BENCH_STREAM_LM") == "1"
         if os.environ.get("BENCH_STREAM", "trie") == "trie":
             # Production-shaped workload: the 50k-word trie HCLG +
             # TDNN-1024, same as the throughput bench (BENCH_STREAM=toy
             # keeps the round-2 200-word loop for comparability).
+            # BENCH_STREAM_LM=1 adds the ARPA-scale G' delta-LM.
             from catears_tpu.tools.biggraph import write_trie_model
             conf = write_trie_model(
                 model_dir, rng,
                 num_words=int(os.environ.get("BENCH_WORDS", 50000)),
-                hidden=int(os.environ.get("BENCH_HIDDEN", 1024)))
-            geo = (4096, 36864, 8192)
+                hidden=int(os.environ.get("BENCH_HIDDEN", 1024)),
+                with_lm=with_lm)
+            geo = (2048, 32768, 8192)
         else:
             conf = write_toy_model(model_dir, rng=rng, num_words=200,
                                    hidden=512, num_pdfs=1024)
@@ -301,6 +337,8 @@ def main_streaming():
             beam_size=int(os.environ.get("BENCH_BEAM", geo[0])),
             expand_size=int(os.environ.get("BENCH_EXPAND", geo[1])),
             eps_expand_size=int(os.environ.get("BENCH_EPS_EXPAND", geo[2])),
+            lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND",
+                                              512 if with_lm else 0)),
             max_eps_iters=3)
         rec = Recognizer(conf, beam_config=cfg)
         pcm = (rng.randn(int(seconds * 16000)) * 1000).astype("<i2").tobytes()

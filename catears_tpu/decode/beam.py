@@ -38,6 +38,7 @@ import numpy as np
 from catears_tpu.graph.device import (
     DeviceFst,
     DeviceLm,
+    compact_mask,
     lm_propagate_capped,
 )
 
@@ -168,42 +169,6 @@ def _select_best(cfg: BeamConfig, states, lms, costs, payloads,
     return out, jnp.bool_(False), demand
 
 
-def _compact_mask(keep: jnp.ndarray, cols, c2: int):
-    """Order-preserving compaction of masked lanes into C2 slots.
-
-    Compaction without scatters: segment the array 512 wide, sort each
-    segment's kept-iota keys (a single-operand sort over rows — log^2(512)
-    stages instead of the full array's log^2(N)), then place survivors by
-    rank with vectorized segment arithmetic + two row gathers.  Survivor
-    order == input order.  Returns (compacted i32 columns, valid mask
-    [C2], total survivors); lanes past `total` read column 0's lane 0 —
-    mask with `valid`.
-    """
-    n = keep.shape[0]
-    seg = 512
-    npad = -(-n // seg) * seg
-    nseg = npad // seg
-    iota = jnp.arange(n, dtype=jnp.int32)
-    keep_p = jnp.pad(keep, (0, npad - n))
-    skey = jnp.where(keep_p, jnp.pad(iota, (0, npad - n)), npad)
-    sk = jax.lax.sort(skey.reshape(nseg, seg)).reshape(npad)
-    counts = jnp.sum(keep_p.reshape(nseg, seg), axis=1, dtype=jnp.int32)
-    ends = jnp.cumsum(counts)
-    total = ends[-1]
-    j = jnp.arange(c2, dtype=jnp.int32)
-    # Segment of output slot j = number of segments fully used before it;
-    # its start offset recovered with a one-hot select (no row gathers on
-    # the tiny [nseg] tables — compare+reduce stays on the VPU).
-    segj = jnp.sum((ends[None, :] <= j[:, None]).astype(jnp.int32), axis=1)
-    segc = jnp.minimum(segj, nseg - 1)
-    onehot = segc[:, None] == jnp.arange(nseg, dtype=jnp.int32)
-    start_j = jnp.sum(jnp.where(onehot, (ends - counts)[None, :], 0),
-                      axis=1)
-    src = sk[jnp.clip(segc * seg + (j - start_j), 0, npad - 1)]
-    valid_j = j < total
-    src = jnp.where(valid_j, src, 0)  # kept skey entries are < n
-    packed = jnp.stack(list(cols), axis=1)[src]  # [C2, F] row gather
-    return [packed[:, i] for i in range(len(cols))], valid_j, total
 
 
 def _select_compacted(cfg: BeamConfig, c2: int, states, lms, costs,
@@ -250,7 +215,7 @@ def _select_compacted(cfg: BeamConfig, c2: int, states, lms, costs,
     # INF <= INF would keep every live lane.
     keep = (first & (s_states < SENTINEL_STATE) & jnp.isfinite(s_costs)
             & (s_costs <= mn + cfg.beam))
-    (c_cost_b, c_iota), c_valid, total = _compact_mask(
+    (c_cost_b, c_iota), c_valid, total, _src = compact_mask(
         keep, [jax.lax.bitcast_convert_type(s_costs, jnp.int32), s_iota],
         c2)
     c_cost = jnp.where(c_valid,

@@ -8,6 +8,7 @@ decodes a whole [B, T, P] batch of utterances in one scan for throughput.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -35,7 +36,8 @@ def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
 
     Without a delta-LM the bound is exact and the decoder can NEVER
     truncate — the static analogue of the reference iterating every arc
-    (src/decoder.cc:337-377).
+    (src/decoder.cc:337-377).  For measured (rather than worst-case)
+    geometry, see `autosize`.
 
     With a delta-LM the beam dedups on (state, lm) pairs, so the true
     worst case is K tokens all parked on the single highest-fanout state
@@ -44,9 +46,9 @@ def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
     allows `lm_dup_factor` beam copies per HCLG state (capped at the true
     worst case); genuine overshoot is still caught by the device overflow
     flag and raises BeamCapacityError with the measured high-water mark,
-    so results are never silently wrong.
+    so results are never silently wrong.  `autosize` replaces this guess
+    with measured demand when representative audio is available.
     """
-    import dataclasses
 
     eb, epsb = expansion_bounds(fst, arc_group, base.beam_size,
                                 distinct_states=True, csr_group=csr_group)
@@ -60,6 +62,68 @@ def safe_config(fst: FlatFst, arc_group: int, base: BeamConfig,
         base,
         expand_size=max(base.expand_size, eb, arc_group),
         eps_expand_size=max(base.eps_expand_size, epsb, arc_group))
+
+
+def _round_up(v: int, quantum: int) -> int:
+    return -(-v // quantum) * quantum
+
+
+def autosize(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
+             am_scale: float = 0.1,
+             delta_lm: Optional[DeltaLmFst] = None,
+             base: Optional[BeamConfig] = None,
+             margin: float = 1.25,
+             arc_group: int = 4,
+             csr_group: int = None,
+             set_select_compact: bool = False) -> BeamConfig:
+    """One-call deployment geometry from a representative decode.
+
+    Runs `logp` ([T, P] or [B, T, P] log-prob frames — the harder and
+    more representative, the better) through a decode with GENEROUS
+    capacities (safe_config bounds, uncapped delta-LM walk), reads the
+    capacity high-water telemetry, and returns a tight BeamConfig with
+    `margin` headroom.  Replaces the hand-loop of reading
+    Decoder.capacity_high_water and exporting env vars: geometry
+    selection without tuning, the deployment property the reference gets
+    by iterating every arc (reference src/decoder.cc:337-377).
+
+    Genuine overshoot at decode time is still caught by the device
+    overflow flag (BeamCapacityError), so a tight config is never
+    silently wrong.  select_compact stays 0 unless requested — on
+    word-dense graphs the survivor demand approaches expansion width and
+    compaction does not pay (see ARCHITECTURE.md round-4 notes).
+    """
+    base = base or BeamConfig(am_scale=am_scale)
+    if base.am_scale != am_scale:
+        base = dataclasses.replace(base, am_scale=am_scale)
+    sizing = dataclasses.replace(
+        safe_config(fst, arc_group, base, delta_lm is not None,
+                    csr_group=csr_group, lm_dup_factor=8),
+        lm_expand_size=0, select_compact=0)
+    lp = np.asarray(logp, np.float32)
+    if lp.ndim == 2:
+        lp = lp[None]
+    hw = np.zeros(4, np.int64)
+    for row in lp:
+        dec = Decoder(fst, tid2pdf, am_scale=am_scale, delta_lm=delta_lm,
+                      config=sizing, arc_group=arc_group,
+                      csr_group=csr_group)
+        dec.process(row)
+        dec.end_of_stream()
+        dec.check_capacity()
+        hw = np.maximum(hw, dec.capacity_high_water)
+    g = csr_group or arc_group
+    tight = dataclasses.replace(
+        base,
+        expand_size=max(_round_up(int(hw[0] * margin), 512), g),
+        eps_expand_size=max(_round_up(int(hw[1] * margin), 512), g)
+        if hw[1] else base.eps_expand_size,
+        lm_expand_size=(_round_up(int(hw[2] * margin), 128)
+                        if delta_lm is not None and hw[2] else 0),
+        select_compact=(_round_up(int(hw[3] * margin), 512)
+                        if set_select_compact and hw[3] else 0),
+    )
+    return tight
 
 
 def _traces_to_host(trace, num_valid: int, utt: int) -> List[HostTrace]:

@@ -25,6 +25,62 @@ from catears_tpu.utils.errors import CorruptionError
 INT32_SENTINEL = np.int32(2**30)
 
 
+def compact_mask(keep: jnp.ndarray, cols, c2: int):
+    """Order-preserving compaction of masked lanes into C2 slots.
+
+    Compaction without scatters or per-row gathers for the bookkeeping:
+    segment the array 512 wide, sort each segment's kept-iota keys (a
+    single-operand VPU sort over rows — log^2(512) stages instead of the
+    full array's log^2(N)), then place survivors by rank with vectorized
+    segment arithmetic + one packed row gather of C2 rows.  Survivor
+    order == input order.  Returns (compacted i32 columns, valid mask
+    [C2], total survivors, src lane index [C2]); lanes past `total` read
+    column 0's lane 0 — mask with `valid`.
+    """
+    n = keep.shape[0]
+    seg = 512
+    npad = -(-n // seg) * seg
+    nseg = npad // seg
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keep_p = jnp.pad(keep, (0, npad - n))
+    skey = jnp.where(keep_p, jnp.pad(iota, (0, npad - n)), npad)
+    sk = jax.lax.sort(skey.reshape(nseg, seg)).reshape(npad)
+    counts = jnp.sum(keep_p.reshape(nseg, seg), axis=1, dtype=jnp.int32)
+    ends = jnp.cumsum(counts)
+    total = ends[-1]
+    j = jnp.arange(c2, dtype=jnp.int32)
+    # Segment of output slot j = number of segments fully used before it;
+    # its start offset recovered with a one-hot select (no row gathers on
+    # the tiny [nseg] tables — compare+reduce stays on the VPU).
+    segj = jnp.sum((ends[None, :] <= j[:, None]).astype(jnp.int32), axis=1)
+    segc = jnp.minimum(segj, nseg - 1)
+    onehot = segc[:, None] == jnp.arange(nseg, dtype=jnp.int32)
+    start_j = jnp.sum(jnp.where(onehot, (ends - counts)[None, :], 0),
+                      axis=1)
+    src = sk[jnp.clip(segc * seg + (j - start_j), 0, npad - 1)]
+    valid_j = j < total
+    src = jnp.where(valid_j, src, 0)  # kept skey entries are < n
+    if not cols:
+        return [], valid_j, total, src
+    packed = jnp.stack(list(cols), axis=1)[src]  # [C2, F] row gather
+    return [packed[:, i] for i in range(len(cols))], valid_j, total, src
+
+
+def _lm_hash(xp, s, l, seed: int, mask: int):
+    """Deterministic (state, label) bucket hash, identical under np/jnp.
+
+    uint32 arithmetic wraps the same way in both (pass xp=np offline,
+    xp=jnp on device), so the builder and the lookup agree bit-for-bit.
+    """
+    h = (s.astype(xp.uint32) * xp.uint32(0x9E3779B1)
+         ^ l.astype(xp.uint32) * xp.uint32(0x85EBCA77)
+         ^ xp.uint32(seed))
+    h = h ^ (h >> 15)
+    h = h * xp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 13)
+    return (h & xp.uint32(mask)).astype(xp.int32)
+
+
 def _per_state_arc_counts(fst: FlatFst):
     """(n_eps, n_emit) int64 [S]: per-state epsilon / emitting arc counts.
 
@@ -330,42 +386,62 @@ class DeviceFst:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["offsets", "arc_ilabel", "arc_next", "arc_weight",
-                 "arc_ilabel0", "small_lm", "start", "uni_next",
+    data_fields=["hash_tab", "state_tab", "small_lm", "start", "uni_next",
                  "uni_weight"],
-    meta_fields=["max_backoff", "span_bits"])
+    meta_fields=["max_backoff", "hash_seed1", "hash_seed2", "hash_mask"])
 @dataclasses.dataclass(frozen=True)
 class DeviceLm:
-    """Backoff LM G' + unigram subtraction vector for delta-LM rescoring.
+    """Backoff LM G' for delta-LM rescoring: dense state-0 + arc hash.
 
-    State 0 (the ARPA unigram/backoff terminal, where most backoff walks
-    land and which holds a vocab-sized arc span) gets a DENSE per-ilabel
-    table (uni_next/uni_weight): one row gather instead of a
-    log2(vocab)-step binary search.  This is the TPU analogue of the
-    reference's bucket_0_ dense fast path (src/fst.cc:175-197); it also
-    lets span_bits — the static binary-search depth every lm_propagate
-    round pays for ALL lanes — shrink to the largest NON-unigram span.
+    Three structures replace the reference's binary-searched arc spans +
+    1M-entry direct-mapped cache (src/fst.cc:131-154, 292-327):
+
+      uni_next/uni_weight — state 0 (the ARPA unigram/backoff terminal,
+        where most walks land, holding a vocab-sized span) as a DENSE
+        per-ilabel table: the reference's bucket_0_ fast path
+        (src/fst.cc:175-197), one row gather.
+      hash_tab — every other (state, ilabel>0) arc in a TWO-CHOICE
+        4-way-bucketized hash table: one 64-byte row gather resolves a
+        lookup (a second row only when the bucket's overflow bit — the
+        sign of the l0 lane — says a colliding key was displaced to its
+        alternate bucket).  On chip, row gathers cost ~0.3 us/row
+        (scripts/lmprof.py), so replacing the span_bits(~11)-round
+        binary search with ~1 probe round is the difference between the
+        walk costing milliseconds and costing microseconds per frame.
+      state_tab — per-state (backoff_next, backoff_weight): the epsilon
+        first-arc convention resolved offline, one row gather per miss.
+
+    Bucket row layout (16 x i32): [s0..s3, l0..l3, n0..n3, w0..w3] with
+    empty slots s = -1 (keys always have s >= 1, l >= 1).
     """
 
-    offsets: jnp.ndarray  # i32 [S+1]
-    arc_ilabel: jnp.ndarray  # i32 [A] (ilabel-sorted within each span)
-    arc_next: jnp.ndarray  # i32 [A]
-    arc_weight: jnp.ndarray  # f32 [A]
-    arc_ilabel0: jnp.ndarray  # bool [S] state has a backoff (eps-first) arc
+    hash_tab: jnp.ndarray  # i32 [B, 16] two-choice 4-slot buckets
+    state_tab: jnp.ndarray  # i32 [S, 2] (backoff next or -1, weight bits)
     small_lm: jnp.ndarray  # f32 [V] unigram costs to subtract
     start: jnp.ndarray  # i32 scalar: DeltaLmFst start (post-<s>)
     uni_next: jnp.ndarray  # i32 [V] state-0 dense next (-1 = no arc)
     uni_weight: jnp.ndarray  # f32 [V] state-0 dense weight
     max_backoff: int
-    span_bits: int  # static binary-search depth: ceil(log2(max span + 1))
+    hash_seed1: int
+    hash_seed2: int
+    hash_mask: int  # buckets - 1 (power of two)
 
     @classmethod
     def build(cls, delta: DeltaLmFst, max_backoff: int = 8) -> "DeviceLm":
         lm = delta.lm
-        has_backoff = np.zeros(lm.num_states, bool)
         starts = lm.offsets[:-1]
         nonempty = lm.offsets[:-1] < lm.offsets[1:]
+        has_backoff = np.zeros(lm.num_states, bool)
         has_backoff[nonempty] = lm.arc_ilabel[starts[nonempty]] == 0
+        # Per-state backoff arc (the epsilon-first convention), packed.
+        bo_next = np.full(lm.num_states, -1, np.int32)
+        bo_wbits = np.zeros(lm.num_states, np.int32)
+        bo_states = np.flatnonzero(has_backoff)
+        bo_pos = lm.offsets[bo_states]
+        bo_next[bo_states] = lm.arc_next[bo_pos]
+        bo_wbits[bo_states] = np.asarray(lm.arc_weight[bo_pos],
+                                         np.float32).view(np.int32)
+        state_tab = np.stack([bo_next, bo_wbits], axis=1)
         # Dense state-0 table indexed by ilabel (reference bucket_0_).
         n_sym = max(int(lm.arc_ilabel.max(initial=0)) + 1,
                     int(np.asarray(delta.small_lm).size), 1)
@@ -375,23 +451,88 @@ class DeviceLm:
         lab0 = lm.arc_ilabel[lo0:hi0]
         uni_next[lab0] = lm.arc_next[lo0:hi0]
         uni_weight[lab0] = lm.arc_weight[lo0:hi0]
-        # Binary searches never run on state 0: its span drops out of the
-        # static depth.
-        spans = np.diff(lm.offsets)
-        max_span = int(spans[1:].max(initial=1)) if spans.size > 1 else 1
+        # Hash all remaining (state >= 1, ilabel >= 1) arcs.
+        state_of_arc = np.repeat(
+            np.arange(lm.num_states),
+            np.diff(lm.offsets.astype(np.int64))).astype(np.int32)
+        sel = (lm.arc_ilabel > 0) & (state_of_arc != 0)
+        ks, kl = state_of_arc[sel], lm.arc_ilabel[sel].astype(np.int32)
+        kn = lm.arc_next[sel].astype(np.int32)
+        kw = np.asarray(lm.arc_weight[sel], np.float32).view(np.int32)
+        tab, seed1, seed2, mask = cls._build_hash(ks, kl, kn, kw)
         return cls(
-            offsets=jnp.asarray(lm.offsets, jnp.int32),
-            arc_ilabel=jnp.asarray(lm.arc_ilabel),
-            arc_next=jnp.asarray(lm.arc_next),
-            arc_weight=jnp.asarray(lm.arc_weight),
-            arc_ilabel0=jnp.asarray(has_backoff),
+            hash_tab=jnp.asarray(tab),
+            state_tab=jnp.asarray(state_tab),
             small_lm=jnp.asarray(np.asarray(delta.small_lm, np.float32)),
             start=jnp.int32(delta.start_state()),
             uni_next=jnp.asarray(uni_next),
             uni_weight=jnp.asarray(uni_weight),
             max_backoff=max_backoff,
-            span_bits=max(1, max_span.bit_length()),
+            hash_seed1=seed1,
+            hash_seed2=seed2,
+            hash_mask=mask,
         )
+
+    @staticmethod
+    def _build_hash(ks, kl, kn, kw, slots: int = 4):
+        """Greedy two-choice placement; doubles the table on failure.
+
+        First-choice buckets fill to `slots`; displaced keys mark their
+        first bucket's overflow bit (sign of the stored l0 lane) and go
+        to their second-choice bucket.  Lookup therefore needs a second
+        probe only when the first bucket says so.
+        """
+        n = ks.size
+        b = 1 << max(8, int(np.ceil(np.log2(max(1, n / 2)))))
+        for attempt in range(8):
+            seed1, seed2 = 0x1234 + attempt, 0x9876 + 3 * attempt
+            mask = b - 1
+            h1 = _lm_hash(np, ks, kl, seed1, mask)
+            h2 = _lm_hash(np, ks, kl, seed2, mask)
+            ss = np.full((b, slots), -1, np.int32)
+            ll = np.zeros((b, slots), np.int32)
+            nn = np.zeros((b, slots), np.int32)
+            ww = np.zeros((b, slots), np.int32)
+            overflow = np.zeros(b, bool)
+
+            def rank_in_bucket(h):
+                order = np.argsort(h, kind="stable")
+                hs = h[order]
+                first = np.concatenate([[0], np.flatnonzero(
+                    hs[1:] != hs[:-1]) + 1])
+                start_of = np.zeros(n, np.int64)
+                start_of[first] = first
+                np.maximum.accumulate(start_of, out=start_of)
+                rank = np.arange(n) - start_of
+                out = np.empty(n, np.int64)
+                out[order] = rank
+                return out
+
+            r1 = rank_in_bucket(h1)
+            place1 = r1 < slots
+            ss[h1[place1], r1[place1]] = ks[place1]
+            ll[h1[place1], r1[place1]] = kl[place1]
+            nn[h1[place1], r1[place1]] = kn[place1]
+            ww[h1[place1], r1[place1]] = kw[place1]
+            rest = ~place1
+            overflow[h1[rest]] = True
+            used = np.bincount(h1[place1], minlength=b)
+            h2r = h2[rest]
+            r2 = rank_in_bucket(np.where(rest, h2, -1))[rest] \
+                if rest.any() else np.zeros(0, np.int64)
+            slot2 = used[h2r] + r2
+            if (slot2 < slots).all():
+                ss[h2r, slot2] = ks[rest]
+                ll[h2r, slot2] = kl[rest]
+                nn[h2r, slot2] = kn[rest]
+                ww[h2r, slot2] = kw[rest]
+                # Overflow bit rides the sign of l0.
+                ll[overflow, 0] = np.int32(
+                    ll[overflow, 0].astype(np.int64) - 2**31)
+                tab = np.concatenate([ss, ll, nn, ww], axis=1)
+                return tab, seed1, seed2, mask
+            b *= 2
+        raise CorruptionError("delta-LM hash build failed to converge")
 
 
 def lm_propagate_capped(dlm: DeviceLm, states: jnp.ndarray,
@@ -424,17 +565,21 @@ def lm_propagate_capped(dlm: DeviceLm, states: jnp.ndarray,
     if cap <= 0 or cap >= e:
         ns, w = lm_propagate(dlm, states, labels)
         return ns, w, needed
-    rank = jnp.cumsum(active.astype(jnp.int32))  # [E] inclusive
-    tgt = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    # lane of the r-th active element; == e (out of range) past `needed`.
-    lane = jnp.searchsorted(rank, tgt, side="left").astype(jnp.int32)
-    lane_c = jnp.minimum(lane, e - 1)
-    sub_ok = tgt <= needed
-    sub_states = jnp.where(sub_ok, states[lane_c], 0)
-    sub_labels = jnp.where(sub_ok, labels[lane_c], 0)
+    # Segment-sort compaction (compact_mask): the previous
+    # cumsum+searchsorted compaction cost log2(E) rounds of cap-wide row
+    # gathers (~2.4 ms/frame at bench shapes, scripts/lmprof.py); the
+    # segment machinery books survivors with VPU sorts and pays ONE
+    # cap-row gather.
+    (sub_states, sub_labels), sub_ok, _total, lane = compact_mask(
+        active, [states, labels], cap)
+    sub_states = jnp.where(sub_ok, sub_states, 0)
+    sub_labels = jnp.where(sub_ok, sub_labels, 0)
     ns, w = lm_propagate(dlm, sub_states, sub_labels)
-    # Scatter the cap results back to their lanes (cap rows — cheap;
-    # the inverse E-row gather costs ~10x at expansion widths).
+    # Scatter the cap results back to their lanes (cap rows — cheap; the
+    # inverse E-row gather costs ~10x at expansion widths).  Invalid
+    # compact slots scatter out of range (dropped) so lane 0 keeps its
+    # own result.
+    lane = jnp.where(sub_ok, lane, e)
     out_s = states.at[lane].set(jnp.where(sub_ok, ns, 0), mode="drop")
     out_w = jnp.zeros(e, jnp.float32).at[lane].set(
         jnp.where(sub_ok, w, 0.0), mode="drop")
@@ -448,68 +593,86 @@ def lm_propagate(dlm: Optional[DeviceLm], states: jnp.ndarray,
     states, labels: i32 [E].  Returns (next_states, delta_weights).
     labels == 0 keep the state with zero weight; a full backoff miss also
     keeps the state (reference PropogateLm, src/decoder.cc:123-141).
+
+    Per while_loop iteration the walk pays TWO cap-wide row gathers (one
+    hash bucket, one state_tab backoff row) plus a rare second-choice
+    probe iteration — against the old design's span_bits(~11)
+    binary-search rounds + 2 span-bound rounds.  Row gathers dominate the
+    walk's on-chip cost (~0.3 us/row, scripts/lmprof.py), so iterations
+    are the budget: a found word costs 1, each backoff hop 1, a displaced
+    hash key 1 extra.
     """
     if dlm is None:
         return states, jnp.zeros_like(states, jnp.float32)
 
-    def try_find(s, l):
-        """Per-lane arc lookup: dense table at state 0, else binary search.
+    # Loop-invariant per-label fetches: state-0 dense arc + unigram cost.
+    l_c = jnp.clip(labels, 0, dlm.uni_next.shape[0] - 1)
+    uni_nxt = dlm.uni_next[l_c]
+    uni_w = dlm.uni_weight[l_c]
+    lab_f = labels
 
-        State 0 holds the vocab-sized unigram span; the dense table
-        resolves it with ONE gather (reference bucket_0_ fast path,
-        src/fst.cc:175-197) and keeps span_bits — the search depth every
-        lane pays — at the largest NON-unigram span.
+    def lookup(s, phase2):
+        """One probe round: bucket row gather + 4-slot compare.
+
+        Returns (resolved, hit, nxt, w, need2): `resolved` lanes either
+        hit or definitively missed; `need2` lanes must re-probe their
+        second-choice bucket next iteration.
         """
         at0 = s == 0
-        l_c = jnp.clip(l, 0, dlm.uni_next.shape[0] - 1)
-        uni_nxt = dlm.uni_next[l_c]
-        s_c = jnp.clip(s, 0, dlm.offsets.shape[0] - 2)
-        lo = jnp.where(at0, 0, dlm.offsets[s_c])
-        hi = jnp.where(at0, 0, dlm.offsets[s_c + 1])  # empty span: no search
-        for _ in range(dlm.span_bits):
-            active = lo < hi
-            mid = (lo + hi) >> 1
-            v = dlm.arc_ilabel[jnp.minimum(mid, dlm.arc_ilabel.shape[0] - 1)]
-            go_right = v < l
-            lo = jnp.where(active & go_right, mid + 1, lo)
-            hi = jnp.where(active & ~go_right, mid, hi)
-        pos_c = jnp.minimum(lo, dlm.arc_ilabel.shape[0] - 1)
-        hit = (lo < dlm.offsets[s_c + 1]) & (dlm.arc_ilabel[pos_c] == l)
+        h1 = _lm_hash(jnp, s, lab_f, dlm.hash_seed1, dlm.hash_mask)
+        h2 = _lm_hash(jnp, s, lab_f, dlm.hash_seed2, dlm.hash_mask)
+        row = dlm.hash_tab[jnp.where(phase2, h2, h1)]  # [E, 16] row gather
+        rs, rl = row[:, 0:4], row[:, 4:8]
+        ov = rl[:, 0] < 0  # overflow bit rides l0's sign
+        rl = rl & jnp.int32(0x7FFFFFFF)
+        match = (rs == s[:, None]) & (rl == lab_f[:, None])
+        hit = jnp.any(match, axis=1)
+        nxt = jnp.sum(jnp.where(match, row[:, 8:12], 0), axis=1)
+        w = jax.lax.bitcast_convert_type(
+            jnp.sum(jnp.where(match, row[:, 12:16], 0), axis=1),
+            jnp.float32)
+        # State 0 resolves from the dense table instead.
         hit = jnp.where(at0, uni_nxt >= 0, hit)
-        nxt = jnp.where(at0, uni_nxt, dlm.arc_next[pos_c])
-        w = jnp.where(at0, dlm.uni_weight[l_c], dlm.arc_weight[pos_c])
-        return hit, nxt, w
+        nxt = jnp.where(at0, uni_nxt, nxt)
+        w = jnp.where(at0, uni_w, w)
+        need2 = ~hit & ~at0 & ov & ~phase2
+        return hit, nxt, w, need2
 
     active0 = labels > 0
     cur = jnp.where(active0, states, 0)
     zero_w = jnp.zeros_like(states, jnp.float32)
+    zero_b = jnp.zeros_like(active0)
 
-    # carry: (cur_state, acc_weight, active, done_found, failed, iteration)
+    # carry: (cur, weight, active, done, failed, phase2, backoff_count)
     def cond(c):
         return jnp.any(c[2])
 
     def body(c):
-        cur, weight, active, done, failed, it = c
-        hit, nxt, w = try_find(cur, labels)
+        cur, weight, active, done, failed, phase2, bo_it = c
+        hit, nxt, w, need2 = lookup(cur, phase2)
         found_now = active & hit
-        cur = jnp.where(found_now, nxt, cur)
-        weight = jnp.where(found_now, weight + w, weight)
+        retry = active & need2
+        miss = active & ~hit & ~need2
+        # Misses follow the state's backoff arc if present (resolved
+        # offline into state_tab).
+        st = dlm.state_tab[jnp.clip(cur, 0, dlm.state_tab.shape[0] - 1)]
+        bo_next = st[:, 0]
+        bo_w = jax.lax.bitcast_convert_type(st[:, 1], jnp.float32)
+        bo_ok = miss & (bo_next >= 0)
+        cur = jnp.where(found_now, nxt, jnp.where(bo_ok, bo_next, cur))
+        weight = jnp.where(found_now, weight + w,
+                           jnp.where(bo_ok, weight + bo_w, weight))
         done = done | found_now
-        # Misses follow the state's backoff (epsilon-first) arc if present
-        miss = active & ~hit
-        s_c = jnp.clip(cur, 0, dlm.arc_ilabel0.shape[0] - 1)
-        bo_ok = miss & dlm.arc_ilabel0[s_c]
-        bo_pos = dlm.offsets[s_c]
-        weight = jnp.where(bo_ok, weight + dlm.arc_weight[bo_pos], weight)
-        cur = jnp.where(bo_ok, dlm.arc_next[bo_pos], cur)
-        over = bo_ok & (it >= dlm.max_backoff)
-        failed = failed | (miss & ~bo_ok) | over
-        active = bo_ok & ~over
-        return cur, weight, active, done, failed, it + 1
+        over = bo_ok & (bo_it >= dlm.max_backoff)
+        failed = failed | (miss & (bo_next < 0)) | over
+        active = (bo_ok & ~over) | retry
+        bo_it = bo_it + jnp.where(bo_ok, 1, 0)
+        return cur, weight, active, done, failed, retry, bo_it
 
-    init = (cur, zero_w, active0, jnp.zeros_like(active0),
-            jnp.zeros_like(active0), jnp.zeros((), jnp.int32))
-    cur, weight, _, done, failed, _ = jax.lax.while_loop(cond, body, init)
+    init = (cur, zero_w, active0, zero_b, zero_b, zero_b,
+            jnp.zeros_like(states))
+    cur, weight, _, done, failed, _, _ = jax.lax.while_loop(cond, body,
+                                                            init)
     # GetArc success: subtract the unigram cost (src/fst.cc:274-281).
     sub = dlm.small_lm[jnp.clip(labels, 0, dlm.small_lm.shape[0] - 1)]
     ok = active0 & done & ~failed

@@ -52,7 +52,22 @@ class Recognizer:
         if conf.has("cmvn_stats"):
             self.cmvn_stats = read_vec0_file(conf.get_path("cmvn_stats"))
         self.fbank = Fbank()
-        self.beam_config = beam_config or BeamConfig(am_scale=AM_SCALE)
+        if beam_config is None:
+            # Decoder geometry straight from the model config — the
+            # deployment contract emitted by `python -m
+            # catears_tpu.tools.tune` (one-call sizing; see
+            # decode.decoder.autosize).  Unset keys keep BeamConfig
+            # defaults.
+            geo = {}
+            for key in ("beam_size", "expand_size", "eps_expand_size",
+                        "lm_expand_size", "select_compact",
+                        "max_eps_iters"):
+                if conf.has(key):
+                    geo[key] = conf.get_int(key)
+            if conf.has("beam"):
+                geo["beam"] = conf.get_float("beam")
+            beam_config = BeamConfig(am_scale=AM_SCALE, **geo)
+        self.beam_config = beam_config
         # Arc-block width for the device graph layout (DeviceFst.group);
         # tune to the graph's typical emitting fanout.  csr_group widens
         # the overflow-CSR rows independently (0 = same as arc_group).

@@ -372,13 +372,17 @@ def plant_logp(rng: np.random.RandomState, graph: TrieGraph, batch: int,
 
 def write_trie_model(out_dir: str, rng: np.random.RandomState,
                      num_words: int = 50_000, hidden: int = 1024,
-                     **trie_kwargs) -> str:
+                     with_lm: bool = False, **trie_kwargs) -> str:
     """Write a decodable model directory around a trie HCLG.
 
     Same artifact set as tools.toy.write_toy_model (pk::fst_0 graph, NN02
     nnet, VEC0 prior/tid2pdf, words.txt, config) but at large-vocab bench
     scale — used by the streaming bench so its latency numbers come from
-    the production-shaped graph, not a toy loop.  Returns the config path.
+    the production-shaped graph, not a toy loop.  with_lm additionally
+    writes an ARPA-scale G' + unigram vector and the `large_lm`/
+    `original_lm` config keys (reference src/ce_stt.cc:82-110), so the
+    runtime decodes with on-the-fly delta-LM rescoring.  Returns the
+    config path.
     """
     import os
 
@@ -411,5 +415,13 @@ def write_trie_model(out_dir: str, rng: np.random.RandomState,
         fd.write(f"chunk_size = 20\nnum_pdfs = {g.num_pdfs}\n")
         fd.write("tid2pdf = trie.tid2pdf\nsymbol_table = words.txt\n")
         # Device layout tuned for trie fanout (bench.py / frameprof sweep)
-        fd.write("arc_group = 2\ncsr_group = 8\n")
+        fd.write("arc_group = 2\ncsr_group = 16\n")
+        if with_lm:
+            fd.write("large_lm = trie_g.fst\noriginal_lm = trie.unigram\n")
+    if with_lm:
+        big = make_big_lm(rng, num_words=num_words)
+        with open(os.path.join(out_dir, "trie_g.fst"), "wb") as fd:
+            binfmt.write_pkfst(fd, big.lm.to_raw())
+        with open(os.path.join(out_dir, "trie.unigram"), "wb") as fd:
+            binfmt.write_vec0(fd, big.small_lm)
     return conf

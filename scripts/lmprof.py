@@ -38,7 +38,7 @@ rng = np.random.RandomState(0)
 print(f"# building {WORDS}-word G'...", file=sys.stderr)
 big = make_big_lm(rng, num_words=WORDS)
 dlm = DeviceLm.build(big.delta_lm())
-print(f"# G': span_bits={dlm.span_bits} states={big.num_states}",
+print(f"# G': hash buckets={dlm.hash_mask + 1} states={big.num_states}",
       file=sys.stderr)
 
 labels = np.zeros((BATCH, E), np.int32)

@@ -1,0 +1,207 @@
+"""Accuracy realism + headline-scale parity vs the reference binary.
+
+Closes the two evidence gaps of the planted-likelihood bench in one
+experiment (SURVEY.md §6, /root/reference/doc/debug.md methodology):
+
+  1. TRAINED acoustics: a TDNN is trained (on device, with this
+     framework's own fbank front-end) on synthetic formant-like phone
+     audio for the 50k-word trie HCLG — so decodes run on genuinely
+     confusable posteriors produced by a real wave -> fbank -> AM path,
+     not on planted pseudo-likelihoods.
+  2. SIDE-BY-SIDE decode: the SAME model artifacts and the SAME wav
+     files go through this framework (beam-2048 production geometry) and
+     through the compiled reference binary (30k-token budget,
+     /root/reference/src/decoder.h:54).  Reported: WER of each engine
+     against the true word sequences, transcript agreement between
+     engines, a WER-vs-beam curve under trained acoustics, and
+     transcript parity on the two real test WAVs at full 618k-state
+     scale.
+
+Run (defaults = headline scale, ~30 min incl. reference decode):
+  python scripts/realism.py
+Env: WORDS (50000), UTTS_TRAIN (240), UTTS_TEST (20), SECONDS (8),
+     STEPS (3000), BEAMS (1024,2048,4096), SKIP_REF=1 to skip the
+     reference side.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/catears_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from catears_tpu.decode.beam import BeamConfig  # noqa: E402
+from catears_tpu.frontend.fbank import num_frames  # noqa: E402
+from catears_tpu.tools.biggraph import make_trie_graph  # noqa: E402
+from catears_tpu.tools.score import edit_distance  # noqa: E402
+from catears_tpu.tools.synth import (  # noqa: E402
+    Synthesizer,
+    empirical_prior,
+    fbank_labels,
+    train_am,
+    write_trained_model,
+    write_wav,
+)
+from catears_tpu.tools.toy import make_toy_nnet  # noqa: E402
+
+WORDS = int(os.environ.get("WORDS", 50000))
+NUM_PHONES = int(os.environ.get("NUM_PHONES", 200))
+VARIANTS = int(os.environ.get("VARIANTS", 6))
+UTTS_TRAIN = int(os.environ.get("UTTS_TRAIN", 240))
+UTTS_TEST = int(os.environ.get("UTTS_TEST", 20))
+SECONDS = float(os.environ.get("SECONDS", 8.0))
+STEPS = int(os.environ.get("STEPS", 3000))
+HIDDEN = int(os.environ.get("HIDDEN", 1024))
+BEAMS = [int(b) for b in os.environ.get("BEAMS", "1024,2048,4096").split(",")]
+OUT = os.environ.get("OUT_DIR", "/tmp/realism")
+REFERENCE_BIN = os.environ.get("CATEARS_REFERENCE_BIN",
+                               "/tmp/refbuild/pocketkaldi")
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def compute_feats(samples_list):
+    """Batch fbank on device (ragged -> per-utterance calls, shapes cached
+    by length bucket)."""
+    import jax.numpy as jnp
+
+    from catears_tpu.frontend.fbank import fbank_from_wave
+
+    out = []
+    for s in samples_list:
+        nf = num_frames(s.shape[0])
+        out.append(np.asarray(fbank_from_wave(jnp.asarray(s), nf)))
+    return out
+
+
+def wer_of(hyps, refs):
+    errs = sum(edit_distance(r, h)[0] for h, r in zip(hyps, refs))
+    return errs / max(1, sum(len(r) for r in refs))
+
+
+def main():
+    rng = np.random.RandomState(0)
+    frames = int(SECONDS * 100)
+    log(f"building {WORDS}-word trie...")
+    g = make_trie_graph(rng, num_words=WORDS, num_phones=NUM_PHONES,
+                        variants=VARIANTS)
+    synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng)
+    spec = make_toy_nnet(rng, hidden=HIDDEN, num_pdfs=g.num_pdfs,
+                         num_tdnn_layers=5)
+    left, right = spec.left_context, spec.right_context
+
+    log(f"synthesizing {UTTS_TRAIN} training utterances x {SECONDS}s...")
+    waves, all_targets = [], []
+    for _ in range(UTTS_TRAIN):
+        s, t, _ = synth.utterance(rng, frames)
+        waves.append(s)
+        all_targets.append(t)
+    feats = compute_feats(waves)
+    data, labels_all = [], []
+    for f, t in zip(feats, all_targets):
+        lab = fbank_labels(t, f.shape[0])
+        labels_all.append(lab)
+        data.append((f, lab[left:f.shape[0] - right]))
+
+    log(f"training TDNN-{HIDDEN} ({STEPS} steps)...")
+    t0 = time.time()
+    spec2, acc = train_am(spec, data, steps=STEPS, log_every=STEPS // 5)
+    log(f"trained in {time.time() - t0:.0f}s, dev frame accuracy {acc:.3f}")
+    prior = empirical_prior(labels_all, g.num_pdfs)
+    our_conf, ref_conf = write_trained_model(OUT, g, spec2, prior)
+
+    log(f"synthesizing {UTTS_TEST} test utterances...")
+    test_rng = np.random.RandomState(1234)
+    scp_lines, truths = [], []
+    for i in range(UTTS_TEST):
+        s, _, words = synth.utterance(test_rng, frames)
+        path = os.path.join(OUT, f"test{i}.wav")
+        write_wav(path, s)
+        scp_lines.append(f"utt{i} {path}")
+        truths.append([f"word{w}" for w in words])
+    scp = os.path.join(OUT, "test.scp")
+    with open(scp, "w") as fd:
+        fd.write("\n".join(scp_lines) + "\n")
+
+    results = {"dev_frame_acc": round(acc, 4), "words": WORDS,
+               "num_pdfs": g.num_pdfs, "utts": UTTS_TEST,
+               "seconds": SECONDS}
+
+    # --- ours: WER vs beam under trained acoustics -----------------------
+    from catears_tpu.runtime.batch import decode_scp
+    from catears_tpu.runtime.recognizer import Recognizer
+
+    our_hyps = {}
+    for beam in BEAMS:
+        cfg = BeamConfig(beam_size=beam, expand_size=32768,
+                         eps_expand_size=8192, max_eps_iters=3)
+        rec = Recognizer(our_conf, beam_config=cfg)
+        t0 = time.time()
+        hyps = decode_scp(rec, scp, batch_size=min(UTTS_TEST, 10))
+        dt = time.time() - t0
+        hyp_words = [h.split() for _, h in hyps]
+        our_hyps[beam] = hyp_words
+        w = wer_of(hyp_words, truths)
+        log(f"ours beam={beam}: WER {w:.4f} ({dt:.0f}s)")
+        results[f"ours_wer_beam{beam}"] = round(w, 4)
+
+    # --- reference binary at its 30k budget ------------------------------
+    if os.environ.get("SKIP_REF") != "1" and os.path.exists(REFERENCE_BIN):
+        t0 = time.time()
+        ref_out = subprocess.run([REFERENCE_BIN, ref_conf, scp],
+                                 capture_output=True, text=True,
+                                 timeout=7200)
+        dt = time.time() - t0
+        assert ref_out.returncode == 0, ref_out.stderr[-2000:]
+        ref_hyps = []
+        for line in ref_out.stdout.splitlines():
+            parts = line.split()
+            ref_hyps.append(parts[1:])
+        w = wer_of(ref_hyps, truths)
+        log(f"reference (30k budget): WER {w:.4f} ({dt:.0f}s)")
+        results["ref_wer_30k"] = round(w, 4)
+        results["ref_decode_s"] = round(dt, 1)
+        # engine-vs-engine transcript agreement at the production beam
+        prod = our_hyps.get(2048) or our_hyps[max(our_hyps)]
+        agree = sum(1 for a, b in zip(prod, ref_hyps) if a == b)
+        cross = wer_of(prod, ref_hyps)
+        results["transcripts_identical"] = f"{agree}/{UTTS_TEST}"
+        results["cross_wer_ours_vs_ref"] = round(cross, 4)
+        log(f"engine agreement: {agree}/{UTTS_TEST} identical, "
+            f"cross-WER {cross:.4f}")
+
+        # --- headline-scale parity on the two REAL wavs ------------------
+        for wav in ("en-us-hello.wav", "en-us-cat.wav"):
+            wav_path = os.path.abspath(os.path.join(DATA_DIR, wav))
+            r = subprocess.run([REFERENCE_BIN, ref_conf, wav_path],
+                               capture_output=True, text=True,
+                               timeout=3600)
+            assert r.returncode == 0, r.stderr[-2000:]
+            from catears_tpu.runtime.recognizer import decode_wav_file
+            cfg = BeamConfig(beam_size=4096, expand_size=32768,
+                             eps_expand_size=8192, max_eps_iters=3)
+            ours = decode_wav_file(Recognizer(our_conf, beam_config=cfg),
+                                   wav_path)
+            same = ours == r.stdout.strip()
+            log(f"real-wav parity {wav}: {'IDENTICAL' if same else 'DIFF'}"
+                f" (ref={r.stdout.strip()[:80]!r} ours={ours[:80]!r})")
+            results[f"real_wav_parity_{wav}"] = bool(same)
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -581,3 +581,52 @@ class TestSelectCompact:
         assert small.overflowed
         with pytest.raises(BeamCapacityError):
             small.best_path()
+
+
+class TestAutosize:
+    """One-call deployment geometry (decode.decoder.autosize): measured
+    demand + margin replaces both the lm_dup_factor guess and the manual
+    read-hiwater-export-env loop, on the trie + big-G' workload."""
+
+    def _setup(self):
+        from catears_tpu.tools.biggraph import (
+            make_big_lm,
+            make_trie_graph,
+            plant_logp,
+        )
+        rng = np.random.RandomState(11)
+        g = make_trie_graph(rng, num_words=150, num_phones=25,
+                            bigram_states=30, variants=2)
+        big = make_big_lm(rng, num_words=150)
+        logp, words = plant_logp(rng, g, 1, 120)
+        return g, big.delta_lm(), logp[0], words[0]
+
+    def test_trie_with_lm(self):
+        from catears_tpu.decode.decoder import autosize, decode_batch
+
+        g, delta, logp, words = self._setup()
+        cfg = autosize(g.fst, g.tid2pdf, logp, delta_lm=delta,
+                       base=BeamConfig(beam_size=256), arc_group=2,
+                       csr_group=8)
+        # Tight geometry: bounded, decodes the same audio with no
+        # truncation and no hand-tuning.
+        assert cfg.lm_expand_size > 0
+        hyps = decode_batch(g.fst, g.tid2pdf, logp[None], config=cfg,
+                            delta_lm=delta, arc_group=2, csr_group=8)
+        assert hyps[0].words[:len(words)] == words
+        # ... and is genuinely tighter than the lm_dup_factor guess.
+        from catears_tpu.decode.decoder import safe_config
+        guess = safe_config(g.fst, 2, BeamConfig(beam_size=256), True,
+                            csr_group=8)
+        assert cfg.expand_size <= guess.expand_size
+
+    def test_no_lm_exact_parity(self):
+        from catears_tpu.decode.decoder import autosize, decode_batch
+
+        g, _, logp, words = self._setup()
+        cfg = autosize(g.fst, g.tid2pdf, logp,
+                       base=BeamConfig(beam_size=256), arc_group=2)
+        ref = decode_batch(g.fst, g.tid2pdf, logp[None], arc_group=2)
+        got = decode_batch(g.fst, g.tid2pdf, logp[None], config=cfg,
+                           arc_group=2)
+        assert got[0].words == ref[0].words

@@ -246,6 +246,27 @@ class TestBigLmDevice:
             assert uni_next[lab] == int(big.lm.arc_next[pos])
             np.testing.assert_allclose(uni_w[lab],
                                        float(big.lm.arc_weight[pos]))
-        # span_bits excludes the vocab-sized state-0 span
-        other_max = int(np.diff(big.lm.offsets)[1:].max())
-        assert dlm.span_bits == max(1, other_max.bit_length())
+        # Every non-state-0 (state, ilabel>0) arc must be findable in the
+        # two-choice hash (first bucket, or second when the first carries
+        # the overflow bit) — the invariant the device walk relies on.
+        from catears_tpu.graph.device import _lm_hash
+        tab = np.asarray(dlm.hash_tab)
+        state_of_arc = np.repeat(np.arange(big.lm.num_states),
+                                 np.diff(big.lm.offsets))
+        sel = (big.lm.arc_ilabel > 0) & (state_of_arc != 0)
+        ks = state_of_arc[sel].astype(np.int32)
+        kl = big.lm.arc_ilabel[sel].astype(np.int32)
+        kn = big.lm.arc_next[sel]
+        h1 = _lm_hash(np, ks, kl, dlm.hash_seed1, dlm.hash_mask)
+        h2 = _lm_hash(np, ks, kl, dlm.hash_seed2, dlm.hash_mask)
+        for i in range(0, ks.size, 17):  # sampled sweep
+            found = None
+            for h in (h1[i], h2[i]):
+                row = tab[h]
+                for slot in range(4):
+                    lab = row[4 + slot] & 0x7FFFFFFF
+                    if row[slot] == ks[i] and lab == kl[i]:
+                        found = row[8 + slot]
+                if found is not None:
+                    break
+            assert found == kn[i], (ks[i], kl[i])

@@ -178,3 +178,28 @@ class TestEdgeCases:
         hyp = utt.hyp
         utt.process(b"\x00\x01" * 8000)  # ignored after EOS
         assert utt.hyp == hyp
+
+
+def test_streaming_trie_model_with_lm(tmp_path):
+    """write_trie_model(with_lm=True) -> Recognizer: the fused streaming
+    session decodes with on-the-fly delta-LM rescoring (the BENCH_STREAM_LM
+    bench path), and the emitted large_lm/original_lm keys round-trip
+    through the runtime loader (reference src/ce_stt.cc:82-110)."""
+    import numpy as np
+
+    from catears_tpu.io.wav import WaveFormat
+    from catears_tpu.runtime.recognizer import Recognizer
+    from catears_tpu.tools.biggraph import write_trie_model
+
+    rng = np.random.RandomState(4)
+    conf = write_trie_model(str(tmp_path), rng, num_words=80, hidden=32,
+                            num_phones=25, bigram_states=20, variants=2,
+                            with_lm=True)
+    rec = Recognizer(conf)
+    assert rec.delta_lm is not None
+    utt = rec.create_utterance(WaveFormat(1, 16000, 16))
+    pcm = (rng.randn(16000) * 1000).astype("<i2").tobytes()
+    for off in range(0, len(pcm), 1024):
+        utt.process(pcm[off:off + 1024])
+    utt.end_of_stream()
+    assert isinstance(utt.hyp, str)  # decoded without capacity errors

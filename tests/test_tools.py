@@ -406,3 +406,31 @@ class TestMkgraphRecipe:
                                                 "en-us-hello.wav"))
         assert isinstance(hyp, str)
         assert rec is not None
+
+
+class TestTuneCli:
+    def test_tune_and_deploy_keys(self, tmp_path, capsys, data_dir):
+        import numpy as np
+
+        from catears_tpu.runtime.recognizer import Recognizer
+        from catears_tpu.tools.toy import write_toy_model
+        from catears_tpu.tools.tune import main as tune_main
+
+        conf = write_toy_model(str(tmp_path), rng=np.random.RandomState(2),
+                               num_words=25, hidden=32, num_pdfs=48)
+        wav = os.path.join(data_dir, "en-us-hello.wav")
+        assert tune_main([conf, wav, "--margin=1.5",
+                          "--beam-size=128"]) == 0
+        out = capsys.readouterr().out
+        keys = dict(line.split(" = ") for line in out.splitlines()
+                    if " = " in line)
+        assert int(keys["beam_size"]) == 128
+        assert int(keys["expand_size"]) >= 1
+        # The printed keys ARE the deployment contract: appended to the
+        # model config, the Recognizer picks them up directly.
+        with open(conf, "a", encoding="utf-8") as fd:
+            fd.write("\n" + "\n".join(
+                f"{k} = {v}" for k, v in keys.items()) + "\n")
+        rec = Recognizer(conf)
+        assert rec.beam_config.beam_size == 128
+        assert rec.beam_config.expand_size == int(keys["expand_size"])
