@@ -484,26 +484,36 @@ def main_scaling():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     seconds = float(os.environ.get("BENCH_SECONDS", 2.0))
     os.environ.setdefault("BENCH_GRAPH", "trie")
-    os.environ.setdefault("BENCH_WORDS", "2000")
+    # Round-4 workload: a 20k-word sub-trie at the HEADLINE beam geometry
+    # (the round-3 run used 2k words / beam 1024 — right shape, 1/25th
+    # the size), with RAGGED per-utterance lengths through
+    # ShardedPipeline.full_step.
+    os.environ.setdefault("BENCH_WORDS", "20000")
     os.environ.setdefault("BENCH_HIDDEN", "256")
-    os.environ.setdefault("BENCH_BEAM", "1024")
-    os.environ.setdefault("BENCH_EXPAND", "8192")
+    os.environ.setdefault("BENCH_BEAM", "2048")
+    os.environ.setdefault("BENCH_EXPAND", "32768")
     os.environ.setdefault("BENCH_EPS_EXPAND", "1024")
     am, fst, dfst, _, cfg, wave, _, _ = build_bench_setup(batch, seconds)
     t_frames = num_frames(wave.shape[1])
     runs = int(os.environ.get("BENCH_RUNS", 3))
+    # Ragged batch: lengths span 50%..100% of the padded frame budget.
+    rng = np.random.RandomState(7)
+    lengths = rng.randint(t_frames // 2, t_frames + 1,
+                          size=batch).astype(np.int32)
+    audio_seconds = float(lengths.sum()) / 100.0
 
     results = {}
     for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_dev, model_parallel=1)
         pipe = ShardedPipeline(am, dfst, None, cfg, mesh)
         w = jax.device_put(wave, pipe.data_sharding)
+        lens = jax.device_put(jnp.asarray(lengths), pipe.data_sharding)
         with mesh:
             step = pipe.jit_full_step(t_frames)
 
             def run():
                 beam = pipe.make_beam(batch)
-                logp, beam, _ = step(w, beam)
+                logp, beam, _ = step(w, beam, lens)
                 return np.asarray(beam.costs)
 
             costs = run()  # compile
@@ -513,8 +523,9 @@ def main_scaling():
                 t0 = time.perf_counter()
                 run()
                 times.append(time.perf_counter() - t0)
-        results[n_dev] = batch * seconds / min(times)
-        print(f"# devices={n_dev}: {results[n_dev]:.2f} xRT",
+        results[n_dev] = audio_seconds / min(times)
+        print(f"# devices={n_dev}: {results[n_dev]:.2f} xRT "
+              f"(ragged lengths {lengths.min()}..{lengths.max()})",
               file=sys.stderr)
     eff = results[8] / results[1]
     print(json.dumps({

@@ -108,11 +108,24 @@ class ShardedPipeline:
         return jax.lax.with_sharding_constraint(logp, self.data_sharding)
 
     def full_step(self, wave: jnp.ndarray, beam: BeamState,
+                  lengths: Optional[jnp.ndarray] = None, *,
                   n_frames: int):
-        """One streaming step: wave chunk in, updated beam + traces out."""
+        """One streaming step: wave chunk in, updated beam + traces out.
+
+        lengths ([B] i32, optional) supports RAGGED batches: utterance b
+        decodes only its first lengths[b] frames; the padded tail runs
+        identity frames (frame_valid=0 in the device scan), exactly like
+        decode_batch's host path.  None = every frame valid.
+        """
         logp = self.am_step(wave, n_frames)  # [B, T, P]
         logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P]
-        valid = jnp.ones((logp_t.shape[0], logp_t.shape[1]), bool)
+        if lengths is None:
+            valid = jnp.ones((logp_t.shape[0], logp_t.shape[1]), bool)
+        else:
+            lengths = jax.lax.with_sharding_constraint(
+                lengths, self.data_sharding)
+            valid = (jnp.arange(logp_t.shape[0], dtype=jnp.int32)[:, None]
+                     < lengths[None, :])
         beam, traces = decode_chunk(self.cfg, self.dlm is not None,
                                     self.dfst, self.dlm, beam, logp_t, valid)
         return logp, beam, traces

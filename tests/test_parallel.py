@@ -76,3 +76,37 @@ class TestShardedPipeline:
         np.testing.assert_array_equal(states, np.asarray(beam_ref.states))
         np.testing.assert_allclose(costs, np.asarray(beam_ref.costs),
                                    atol=1e-3)
+
+    def test_sharded_ragged_lengths(self, setup):
+        """Ragged batches through ShardedPipeline.full_step: utterance b
+        decodes exactly lengths[b] frames, matching the unsharded
+        ragged decode bit-for-bit."""
+        am, fst, dfst, cfg = setup
+        mesh = make_mesh(4, model_parallel=1)
+        pipe = ShardedPipeline(am, dfst, None, cfg, mesh)
+        batch, samples = 4, 4000
+        t = num_frames(samples)
+        rng = np.random.RandomState(3)
+        wave_np = (rng.randn(batch, samples) * 1000).astype(np.float32)
+        lengths_np = np.array([t, t // 2, t - 1, 3], np.int32)
+        wave = jax.device_put(jnp.asarray(wave_np), pipe.data_sharding)
+        lens = jax.device_put(jnp.asarray(lengths_np), pipe.data_sharding)
+        beam = pipe.make_beam(batch)
+        with mesh:
+            step = pipe.jit_full_step(t)
+            logp, beam_out, _ = step(wave, beam, lens)
+            costs = np.asarray(beam_out.costs)
+            states = np.asarray(beam_out.states)
+
+        from catears_tpu.frontend.fbank import fbank_from_wave
+        ref_logps = np.stack([am.forward(np.asarray(
+            fbank_from_wave(jnp.asarray(wave_np[i]), t)))
+            for i in range(batch)])
+        beam_ref, _ = init_beam_batch(cfg, False, batch, dfst, None)
+        logp_t = jnp.asarray(np.transpose(ref_logps, (1, 0, 2)))
+        valid = jnp.asarray(np.arange(t)[:, None] < lengths_np[None, :])
+        beam_ref, _ = decode_chunk(cfg, False, dfst, None, beam_ref,
+                                   logp_t, valid)
+        np.testing.assert_array_equal(states, np.asarray(beam_ref.states))
+        np.testing.assert_allclose(costs, np.asarray(beam_ref.costs),
+                                   atol=1e-3)
