@@ -36,6 +36,10 @@ import numpy as np
 
 import jax
 
+if os.environ.get("REALISM_CPU") == "1":
+    # The axon sitecustomize force-selects the TPU backend; override via
+    # jax.config (env vars are clobbered) for a host-only run.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/catears_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -73,16 +77,32 @@ def log(msg):
 
 
 def compute_feats(samples_list):
-    """Batch fbank on device (ragged -> per-utterance calls, shapes cached
-    by length bucket)."""
+    """Batched fbank on device at ONE padded shape (utterances are
+    ragged — per-utterance shapes would compile 240 separate programs).
+    Slicing the first nf frames of the padded result is exact: fbank
+    windows are local and zero-padding only affects frames past nf."""
+    import jax
     import jax.numpy as jnp
 
     from catears_tpu.frontend.fbank import fbank_from_wave
 
+    max_len = max(s.shape[0] for s in samples_list)
+    nf_max = num_frames(max_len)
+    fb = jax.jit(jax.vmap(lambda w: fbank_from_wave(w, nf_max)))
+    bsz = 16
+    padded = np.zeros((len(samples_list), max_len), np.float32)
+    for i, s in enumerate(samples_list):
+        padded[i, :s.shape[0]] = s
     out = []
-    for s in samples_list:
-        nf = num_frames(s.shape[0])
-        out.append(np.asarray(fbank_from_wave(jnp.asarray(s), nf)))
+    for off in range(0, len(samples_list), bsz):
+        chunk = padded[off:off + bsz]
+        n = chunk.shape[0]
+        if n < bsz:
+            chunk = np.pad(chunk, ((0, bsz - n), (0, 0)))
+        res = np.asarray(fb(jnp.asarray(chunk)))
+        for j in range(n):
+            nf = num_frames(samples_list[off + j].shape[0])
+            out.append(res[j, :nf])
     return out
 
 
@@ -134,6 +154,9 @@ def main():
     scp = os.path.join(OUT, "test.scp")
     with open(scp, "w") as fd:
         fd.write("\n".join(scp_lines) + "\n")
+    with open(os.path.join(OUT, "truth.txt"), "w") as fd:
+        for i, t in enumerate(truths):
+            fd.write(f"utt{i} {' '.join(t)}\n")
 
     results = {"dev_frame_acc": round(acc, 4), "words": WORDS,
                "num_pdfs": g.num_pdfs, "utts": UTTS_TEST,
@@ -158,9 +181,36 @@ def main():
         results[f"ours_wer_beam{beam}"] = round(w, 4)
 
     # --- reference binary at its 30k budget ------------------------------
+    # Two reference builds: STOCK (as shipped — at this scale it hits a
+    # use-after-free in its OLabel GC and aborts on a large fraction of
+    # utterances; discovered round 4, scripts/build_reference_fixed.sh),
+    # and FIXED (the one-line pool.h loop-bound fix) for the actual WER
+    # side-by-side.
     if os.environ.get("SKIP_REF") != "1" and os.path.exists(REFERENCE_BIN):
+        fixed_bin = os.environ.get("CATEARS_REFERENCE_FIXED_BIN",
+                                   "/tmp/refbuild_fixed/pocketkaldi")
+        if not os.path.exists(fixed_bin):
+            subprocess.run(["bash", os.path.join(os.path.dirname(__file__),
+                                                 "build_reference_fixed.sh")],
+                           check=True, capture_output=True, timeout=600)
+        stock_crashes = 0
+        stock_hyps = {}
         t0 = time.time()
-        ref_out = subprocess.run([REFERENCE_BIN, ref_conf, scp],
+        for i in range(UTTS_TEST):
+            wav = os.path.join(OUT, f"test{i}.wav")
+            r = subprocess.run([REFERENCE_BIN, ref_conf, wav],
+                               capture_output=True, text=True, timeout=3600)
+            if r.returncode != 0:
+                stock_crashes += 1
+            else:
+                stock_hyps[i] = r.stdout.split()
+        log(f"stock reference: {stock_crashes}/{UTTS_TEST} utterances "
+            f"ABORT (OLabel GC use-after-free at 50k-word scale) "
+            f"({time.time() - t0:.0f}s)")
+        results["ref_stock_crashes"] = f"{stock_crashes}/{UTTS_TEST}"
+
+        t0 = time.time()
+        ref_out = subprocess.run([fixed_bin, ref_conf, scp],
                                  capture_output=True, text=True,
                                  timeout=7200)
         dt = time.time() - t0
@@ -170,9 +220,14 @@ def main():
             parts = line.split()
             ref_hyps.append(parts[1:])
         w = wer_of(ref_hyps, truths)
-        log(f"reference (30k budget): WER {w:.4f} ({dt:.0f}s)")
+        log(f"reference GC-FIXED (30k budget): WER {w:.4f} ({dt:.0f}s)")
         results["ref_wer_30k"] = round(w, 4)
         results["ref_decode_s"] = round(dt, 1)
+        # Where the stock binary survives, it must agree with the fixed
+        # one (the fix only prevents freed-node walks).
+        stock_agree = sum(1 for i, h in stock_hyps.items()
+                          if h == ref_hyps[i])
+        results["ref_stock_eq_fixed"] = f"{stock_agree}/{len(stock_hyps)}"
         # engine-vs-engine transcript agreement at the production beam
         prod = our_hyps.get(2048) or our_hyps[max(our_hyps)]
         agree = sum(1 for a, b in zip(prod, ref_hyps) if a == b)
@@ -185,7 +240,7 @@ def main():
         # --- headline-scale parity on the two REAL wavs ------------------
         for wav in ("en-us-hello.wav", "en-us-cat.wav"):
             wav_path = os.path.abspath(os.path.join(DATA_DIR, wav))
-            r = subprocess.run([REFERENCE_BIN, ref_conf, wav_path],
+            r = subprocess.run([fixed_bin, ref_conf, wav_path],
                                capture_output=True, text=True,
                                timeout=3600)
             assert r.returncode == 0, r.stderr[-2000:]

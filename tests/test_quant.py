@@ -228,3 +228,41 @@ class TestCalibratedQuant:
         out_cal = am.forward(feats)
         assert np.abs(np.exp(out_cal + np.log(1 / 24))
                       - np.exp(out_dyn + np.log(1 / 24))).max() < 0.05
+
+
+class TestGuardTranscript:
+    def test_guarded_int8_decode_matches_float_transcript(self, tmp_path,
+                                                          data_dir):
+        """Transcript-level guard-mode check: the full Recognizer pipeline
+        with a guard-calibrated int8 AM must transcribe real audio the
+        same as the float AM (int8 error is bounded at 1% of range, far
+        inside the toy decode's margins; the guard falls back to exact
+        dynamic quantization on any out-of-calibration input)."""
+        import os
+
+        import numpy as np
+
+        from catears_tpu.frontend.fbank import fbank_from_wave, num_frames
+        from catears_tpu.io.wav import read_16k_pcm
+        from catears_tpu.runtime.recognizer import Recognizer, \
+            decode_wav_file
+        from catears_tpu.tools.toy import write_toy_model
+
+        conf = write_toy_model(str(tmp_path), rng=np.random.RandomState(6),
+                               num_words=20, hidden=48, num_pdfs=64)
+        wav = os.path.join(data_dir, "en-us-hello.wav")
+        float_hyp = decode_wav_file(Recognizer(conf), wav)
+
+        with open(conf, "a", encoding="utf-8") as fd:
+            fd.write("quantized = true\n")
+        rec_q = Recognizer(conf)
+        assert rec_q.am.quantized
+        # Guard-mode calibration on the OTHER wav: en-us-hello then runs
+        # against ranges calibrated elsewhere, exercising the fallback.
+        import jax.numpy as jnp
+        cal = read_16k_pcm(os.path.join(data_dir, "en-us-cat.wav"))
+        feats = np.asarray(fbank_from_wave(jnp.asarray(cal),
+                                           num_frames(cal.shape[0])))
+        rec_q.am.calibrate(rec_q.am.pad_context(feats), guard=True)
+        quant_hyp = decode_wav_file(rec_q, wav)
+        assert quant_hyp == float_hyp
