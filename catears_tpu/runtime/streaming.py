@@ -32,7 +32,11 @@ import numpy as np
 
 from catears_tpu.am.model import AcousticModel
 from catears_tpu.decode.beam import BeamConfig, decode_chunk, init_beam_batch
-from catears_tpu.decode.hyp import HostTrace, best_path
+from catears_tpu.decode.hyp import (
+    HostTrace,
+    IncrementalBacktracker,
+    best_path,
+)
 from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.frontend.cmvn import CMVN_GLOBAL_FRAMES, CMVN_WINDOW, FEAT_DIM
 from catears_tpu.frontend.fbank import (
@@ -164,6 +168,9 @@ class StreamingSession:
         self._dev_traces = []  # stacked [F, 1, ...] chunk traces
         self.num_frames_decoded = 0
         self._flushed = False
+        # Partial hypotheses walk only the frames since the last refresh
+        # (the naive full walk makes a long stream O(T^2) host work).
+        self._tracker = IncrementalBacktracker()
 
     # -- internals ---------------------------------------------------------
 
@@ -304,4 +311,5 @@ class StreamingSession:
         lms = np.asarray(self.beam.lm[0])
         costs = np.asarray(self.beam.costs[0])
         return best_path(self._host_traces, states, lms, costs, self.fst,
-                         self.delta_lm, end_of_stream=end_of_stream)
+                         self.delta_lm, end_of_stream=end_of_stream,
+                         tracker=self._tracker)

@@ -203,3 +203,38 @@ def test_streaming_trie_model_with_lm(tmp_path):
         utt.process(pcm[off:off + 1024])
     utt.end_of_stream()
     assert isinstance(utt.hyp, str)  # decoded without capacity errors
+
+
+def test_incremental_backtracker_matches_full_walk():
+    """IncrementalBacktracker must equal the naive full backtrace at every
+    refresh, across random growing traces, path switches, and rooted
+    chains (prev_slot -1)."""
+    import numpy as np
+
+    from catears_tpu.decode.hyp import (
+        HostTrace,
+        IncrementalBacktracker,
+        backtrace,
+    )
+
+    rng = np.random.RandomState(0)
+    k, w = 16, 3
+    for trial in range(5):
+        tracker = IncrementalBacktracker()
+        traces = []
+        # init pseudo-frame: every chain roots here
+        traces.append(HostTrace(np.full(k, -1, np.int32),
+                                np.zeros((k, w), np.int32)))
+        for step in range(40):
+            prev = rng.randint(0, k, size=k).astype(np.int32)
+            if rng.rand() < 0.1:
+                # occasional rooted rows (frozen/dead-frame convention)
+                prev[rng.randint(0, k)] = -1
+            words = np.where(rng.rand(k, w) < 0.3,
+                             rng.randint(1, 50, size=(k, w)), 0)
+            traces.append(HostTrace(prev, words.astype(np.int32)))
+            if step % 3 == 0:
+                slot = int(rng.randint(0, k))
+                got = tracker.best_words(traces, slot)
+                want = backtrace(traces, slot)
+                assert got == want, (trial, step, slot)
