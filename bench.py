@@ -283,9 +283,11 @@ def main():
         print(f"# delta-LM G': {big.num_states} states, {big.num_arcs} "
               f"arcs", file=sys.stderr)
         import dataclasses
+        # Walk cap 384 = measured lm hiwater (252) x 1.5 margin; the walk's
+        # gather rows scale with the cap (26.6 vs 25.6 xRT at 512).
         cfg_lm = dataclasses.replace(
             cfg, lm_expand_size=int(os.environ.get("BENCH_LM_EXPAND",
-                                                   512)))
+                                                   384)))
         lm_value, lm_wer = measure(cfg_lm, dlm2, "lm-on")
         record["lm_on_xrt"] = round(lm_value, 3)
         record["lm_on_ratio_off_over_on"] = round(value / lm_value, 3)
