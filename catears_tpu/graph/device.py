@@ -539,18 +539,16 @@ def lm_propagate_capped(dlm: DeviceLm, states: jnp.ndarray,
                         labels: jnp.ndarray, cap: int):
     """lm_propagate over only the ACTIVE (label > 0) lanes, compacted.
 
-    The backoff walk costs span_bits binary-search gathers per lane per
-    iteration over EVERY lane it is given, but word-emitting candidates
-    are a small fraction of an expansion (most arcs carry olabel 0).
-    Compacting the active lanes into `cap` slots makes the walk's cost
-    proportional to the number of WORDS in flight, not to the expansion
-    capacity:
+    The backoff walk pays hash/backoff row gathers per lane per iteration
+    over EVERY lane it is given, but word-emitting candidates are a small
+    fraction of an expansion (most arcs carry olabel 0).  Compacting the
+    active lanes into `cap` slots makes the walk's cost proportional to
+    the number of WORDS in flight, not to the expansion capacity:
 
-      1. inclusive cumsum of the active mask -> each lane's rank
-      2. searchsorted(ranks, 1..cap) -> the lane index of each rank
-         (log2(E) rounds of cap-wide gathers, no scatters, no sorts)
-      3. bounded backoff walk over the cap compacted lanes
-      4. one packed row gather maps (state', weight) back to all lanes
+      1. segment-sort compaction (compact_mask) books the active lanes
+         with VPU sorts + ONE cap-row gather
+      2. bounded backoff walk over the cap compacted lanes
+      3. a cap-row scatter maps (state', weight) back to their lanes
 
     Returns (next_states, delta_weights, needed): `needed` is the number
     of active lanes in this call — if it exceeds cap, the overflow lanes
