@@ -270,3 +270,47 @@ class TestBigLmDevice:
                 if found is not None:
                     break
             assert found == kn[i], (ks[i], kl[i])
+
+
+class TestLmHashBuild:
+    def test_stress_all_keys_findable(self):
+        """100k random (state, label) keys: every key resolves via the
+        two-choice probe protocol (first bucket, second only when the
+        overflow bit says so), and misses are definitive."""
+        import numpy as np
+
+        from catears_tpu.graph.device import DeviceLm, _lm_hash
+
+        rng = np.random.RandomState(0)
+        n = 100_000
+        ks = rng.randint(1, 50_000, size=n).astype(np.int32)
+        kl = rng.randint(1, 30_000, size=n).astype(np.int32)
+        uniq = np.unique(ks.astype(np.int64) * 30_000 + kl)
+        ks = (uniq // 30_000).astype(np.int32)
+        kl = (uniq % 30_000).astype(np.int32)
+        kn = np.arange(ks.size, dtype=np.int32)
+        kw = rng.randn(ks.size).astype(np.float32).view(np.int32)
+        tab, s1, s2, mask = DeviceLm._build_hash(ks, kl, kn, kw)
+
+        def lookup(s, l):
+            for phase, seed in ((0, s1), (1, s2)):
+                b = int(_lm_hash(np, np.array([s]), np.array([l]),
+                                 seed, mask)[0])
+                row = tab[b]
+                ov = row[4] < 0
+                for slot in range(4):
+                    lab = row[4 + slot] & 0x7FFFFFFF
+                    if row[slot] == s and lab == l:
+                        return row[8 + slot]
+                if phase == 0 and not ov:
+                    return None  # definitive miss, no second probe
+            return None
+
+        idx = rng.choice(ks.size, size=4000, replace=False)
+        for i in idx:
+            assert lookup(int(ks[i]), int(kl[i])) == kn[i]
+        # and misses stay misses
+        for _ in range(200):
+            s, l = int(rng.randint(1, 50_000)), int(rng.randint(30_001,
+                                                                40_000))
+            assert lookup(s, l) is None
