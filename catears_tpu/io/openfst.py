@@ -66,11 +66,23 @@ class ConstFst:
         return self.arc_ilabel.size
 
 
+def _read_exact(fd: BinaryIO, n: int) -> bytes:
+    data = fd.read(n)
+    if len(data) != n:
+        raise CorruptionError(
+            f"unexpected EOF in ConstFst: wanted {n} bytes, got {len(data)}")
+    return data
+
+
+def _unpack(fd: BinaryIO, fmt: str):
+    return struct.unpack(fmt, _read_exact(fd, struct.calcsize(fmt)))
+
+
 def _read_string(fd: BinaryIO) -> str:
-    (n,) = struct.unpack("<i", fd.read(4))
+    (n,) = _unpack(fd, "<i")
     if n < 0 or n > 1 << 20:
         raise CorruptionError(f"bad string length in FST header: {n}")
-    return fd.read(n).decode("utf-8", errors="replace")
+    return _read_exact(fd, n).decode("utf-8", errors="replace")
 
 
 def _write_string(fd: BinaryIO, s: str) -> None:
@@ -80,15 +92,17 @@ def _write_string(fd: BinaryIO, s: str) -> None:
 
 
 def _skip_symbol_table(fd: BinaryIO) -> None:
-    (magic,) = struct.unpack("<i", fd.read(4))
+    (magic,) = _unpack(fd, "<i")
     if magic != SYMBOL_TABLE_MAGIC:
         raise CorruptionError(f"bad symbol table magic: {magic}")
     _read_string(fd)  # name
-    struct.unpack("<q", fd.read(8))  # available key
-    (size,) = struct.unpack("<q", fd.read(8))
+    _unpack(fd, "<q")  # available key
+    (size,) = _unpack(fd, "<q")
+    if size < 0:
+        raise CorruptionError(f"bad symbol table size: {size}")
     for _ in range(size):
         _read_string(fd)
-        fd.read(8)  # key
+        _read_exact(fd, 8)  # key
 
 
 def _align(fd: BinaryIO) -> None:
@@ -99,7 +113,7 @@ def _align(fd: BinaryIO) -> None:
 
 
 def read_const_fst(fd: BinaryIO) -> ConstFst:
-    (magic,) = struct.unpack("<i", fd.read(4))
+    (magic,) = _unpack(fd, "<i")
     if magic != FST_MAGIC:
         raise CorruptionError(f"bad FST magic number: {magic}")
     fsttype = _read_string(fd)
@@ -110,12 +124,15 @@ def read_const_fst(fd: BinaryIO) -> ConstFst:
             "(convert with: fstconvert --fst_type=const)")
     if arctype != "standard":
         raise CorruptionError(f"arc type 'standard' expected, found '{arctype}'")
-    (version,) = struct.unpack("<i", fd.read(4))
-    (flags,) = struct.unpack("<i", fd.read(4))
-    struct.unpack("<Q", fd.read(8))  # properties
-    (start,) = struct.unpack("<q", fd.read(8))
-    (num_states,) = struct.unpack("<q", fd.read(8))
-    (num_arcs,) = struct.unpack("<q", fd.read(8))
+    (version,) = _unpack(fd, "<i")
+    (flags,) = _unpack(fd, "<i")
+    _unpack(fd, "<Q")  # properties
+    (start,) = _unpack(fd, "<q")
+    (num_states,) = _unpack(fd, "<q")
+    (num_arcs,) = _unpack(fd, "<q")
+    if num_states < 0 or num_arcs < 0:
+        raise CorruptionError(
+            f"bad ConstFst sizes: {num_states} states, {num_arcs} arcs")
     if flags & HAS_ISYMBOLS:
         _skip_symbol_table(fd)
     if flags & HAS_OSYMBOLS:

@@ -35,11 +35,18 @@ def read_pcm_header(fd: BinaryIO) -> WaveFormat:
         if got != tag:
             raise CorruptionError(f"expected {tag!r}, found {got!r}")
 
+    def read_exact(n: int) -> bytes:
+        data = fd.read(n)
+        if len(data) != n:
+            raise CorruptionError(
+                f"truncated wav header: wanted {n} bytes, got {len(data)}")
+        return data
+
     def read_i32() -> int:
-        return struct.unpack("<i", fd.read(4))[0]
+        return struct.unpack("<i", read_exact(4))[0]
 
     def read_i16() -> int:
-        return struct.unpack("<h", fd.read(2))[0]
+        return struct.unpack("<h", read_exact(2))[0]
 
     expect(b"RIFF")
     read_i32()  # chunk size (unchecked, as in the reference)

@@ -206,3 +206,55 @@ class TestConstFst:
         np.testing.assert_array_equal(out.arc_count, cf.arc_count)
         np.testing.assert_array_equal(out.arc_ilabel, cf.arc_ilabel)
         np.testing.assert_array_equal(out.arc_weight, cf.arc_weight)
+
+
+class TestTruncationFuzz:
+    """Every binary reader must fail TYPED (CatEarsError family) on
+    truncated or bit-flipped inputs — never with an uncaught struct/index
+    crash (the reference's Status-code contract, src/status.h:37-103)."""
+
+    def test_truncations_raise_typed_errors(self, tmp_path, data_dir):
+        import io as _io
+
+        from catears_tpu.graph.fst import FlatFst
+        from catears_tpu.io.binfmt import read_vec0_file
+        from catears_tpu.io.wav import read_pcm_header
+        from catears_tpu.utils.errors import CatEarsError
+
+        rng = np.random.RandomState(0)
+        g_pfst = open(os.path.join(data_dir, "G.pfst"), "rb").read()
+        uni = open(os.path.join(data_dir, "lm.1order.bin"), "rb").read()
+        wav = open(os.path.join(data_dir, "en-us-hello.wav"), "rb").read()
+        scratch = tmp_path / "fuzz.bin"
+
+        def via_file(reader):
+            def run(b):
+                scratch.write_bytes(b)
+                return reader(str(scratch))
+            return run
+
+        def expect_typed(fn):
+            try:
+                fn()
+            except CatEarsError:
+                return
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(
+                    f"untyped failure {type(e).__name__}: {e}") from e
+            # parsing damaged input "successfully" is acceptable only when
+            # the damage misses every validated field; the point here is
+            # that failures, when they happen, are typed.
+            return
+
+        for payload, reader in (
+            (g_pfst, via_file(FlatFst.read)),
+            (uni, via_file(read_vec0_file)),
+            (wav, lambda b: read_pcm_header(_io.BytesIO(b))),
+        ):
+            for cut in (0, 1, 3, 7, len(payload) // 2, len(payload) - 1):
+                expect_typed(lambda b=payload[:cut], r=reader: r(b))
+            for _ in range(20):
+                b = bytearray(payload)
+                pos = rng.randint(0, min(64, len(b)))  # header region
+                b[pos] ^= 1 << rng.randint(0, 8)
+                expect_typed(lambda bb=bytes(b), r=reader: r(bb))
