@@ -20,7 +20,11 @@ from catears_tpu.decode.beam import (
     decode_chunk,
     init_beam_batch,
 )
-from catears_tpu.decode.hyp import HostTrace, best_path
+from catears_tpu.decode.hyp import (
+    HostTrace,
+    IncrementalBacktracker,
+    best_path,
+)
 from catears_tpu.decode.oracle import Hypothesis
 from catears_tpu.graph.device import DeviceFst, DeviceLm, expansion_bounds
 from catears_tpu.graph.fst import DeltaLmFst, FlatFst
@@ -186,6 +190,9 @@ class Decoder:
         self._pending: List[np.ndarray] = []
         self.num_frames_decoded = 0
         self.is_end_of_stream = False
+        # Partial-hypothesis refreshes walk only the frames since the
+        # last call (see hyp.IncrementalBacktracker).
+        self._tracker = IncrementalBacktracker()
 
     def process(self, logp: np.ndarray) -> None:
         """Queue [n, P] log-prob rows; decodes in chunk_frames batches."""
@@ -248,7 +255,8 @@ class Decoder:
         costs = np.asarray(self.beam.costs[0])
         return best_path(self.traces, states, lms, costs, self.fst,
                          self.delta_lm,
-                         end_of_stream=self.is_end_of_stream)
+                         end_of_stream=self.is_end_of_stream,
+                         tracker=self._tracker)
 
     # -- session checkpoint/resume (streaming state, SURVEY.md §5) ---------
 
@@ -266,6 +274,8 @@ class Decoder:
     def set_state(self, state: dict) -> None:
         self.beam = BeamState(*(jnp.asarray(x) for x in state["beam"]))
         self.traces = [HostTrace(p, w) for p, w in state["traces"]]
+        # The tracker memo indexes the restored trace list, not the old one.
+        self._tracker = IncrementalBacktracker()
         self._pending = [r.copy() for r in state["pending"]]
         self.num_frames_decoded = state["num_frames_decoded"]
         self.is_end_of_stream = state["is_end_of_stream"]

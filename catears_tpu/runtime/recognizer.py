@@ -230,6 +230,9 @@ class Utterance:
             s._dev_traces = []
             s.num_frames_decoded = ss["num_frames_decoded"]
             s._flushed = ss["flushed"]
+            # The tracker memo indexes the restored trace list.
+            from catears_tpu.decode.hyp import IncrementalBacktracker
+            s._tracker = IncrementalBacktracker()
         else:
             self.fbank_stream._buffer = state["fbank_buffer"].copy()
             self.am_stream._buffer = (None if state["am_buffer"] is None
