@@ -68,15 +68,17 @@ class BeamConfig:
     # 0 = walk every lane (exact, never truncates); > 0 is guarded by the
     # same overflow flag / hiwater telemetry as the CSR capacities.
     lm_expand_size: int = 0
-    # Selection compaction capacity: when > 0, large selections prefilter
-    # candidates by the beam threshold (cost <= min + beam) and compact the
-    # survivors into this many slots BEFORE the dedup/top-K sorts, so the
-    # full-width sorts over expand_size candidates become sorts over the
-    # (much smaller) set that can actually enter the beam.  Exact: the
-    # threshold commutes with dedup and top-K, and compaction preserves
-    # candidate order so every tie-break is unchanged.  Truncation (more
-    # survivors than slots) is detected on device like the CSR capacities:
-    # overflow flag + hiwater slot 3.  0 = classic full-width sorts.
+    # EXPERIMENTAL, default off (0 = classic full-width sorts): when > 0,
+    # large selections prefilter candidates by the beam threshold
+    # (cost <= min + beam) and compact the survivors into this many slots
+    # BEFORE the dedup/top-K sorts.  Exact (the threshold commutes with
+    # dedup and top-K, and compaction preserves candidate order) and
+    # loud-overflow (hiwater slot 3), but measured NEGATIVE on every
+    # workload tried — word-dense graphs put survivor demand near
+    # expansion width, and at small widths the compaction bookkeeping
+    # exceeds what the narrower prune sort saves (ARCHITECTURE.md
+    # round-4 notes).  Kept only to reproduce those measurements;
+    # autosize never sets it.
     select_compact: int = 0
     max_eps_iters: int = 6  # closure fixpoint bound
     beam: float = 16.0  # beam width (reference src/decoder.cc:56)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,8 +79,7 @@ def autosize(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
              base: Optional[BeamConfig] = None,
              margin: float = 1.25,
              arc_group: int = 4,
-             csr_group: int = None,
-             set_select_compact: bool = False) -> BeamConfig:
+             csr_group: int = None) -> BeamConfig:
     """One-call deployment geometry from a representative decode.
 
     Runs `logp` ([T, P] or [B, T, P] log-prob frames — the harder and
@@ -93,9 +93,10 @@ def autosize(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
 
     Genuine overshoot at decode time is still caught by the device
     overflow flag (BeamCapacityError), so a tight config is never
-    silently wrong.  select_compact stays 0 unless requested — on
-    word-dense graphs the survivor demand approaches expansion width and
-    compaction does not pay (see ARCHITECTURE.md round-4 notes).
+    silently wrong.  select_compact is always left 0: the knob measured
+    negative on every workload tried (see ARCHITECTURE.md round-4 notes
+    and the BeamConfig docstring) — set it manually only to reproduce
+    those experiments.
     """
     base = base or BeamConfig(am_scale=am_scale)
     if base.am_scale != am_scale:
@@ -124,8 +125,6 @@ def autosize(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         if hw[1] else base.eps_expand_size,
         lm_expand_size=(_round_up(int(hw[2] * margin), 128)
                         if delta_lm is not None and hw[2] else 0),
-        select_compact=(_round_up(int(hw[3] * margin), 512)
-                        if set_select_compact and hw[3] else 0),
     )
     return tight
 
@@ -246,7 +245,8 @@ class Decoder:
                 f"arc expansion overflowed capacity (expand_size="
                 f"{self.cfg.expand_size}, eps_expand_size="
                 f"{self.cfg.eps_expand_size}) after "
-                f"{self.num_frames_decoded} frames")
+                f"{self.num_frames_decoded} frames",
+                hiwater=self.capacity_high_water)
 
     def best_path(self) -> Hypothesis:
         self.check_capacity()
@@ -289,8 +289,27 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  chunk_frames: int = 50,
                  arc_group: int = 4,
                  close_eps: bool = True,
-                 csr_group: int = None) -> List[Hypothesis]:
-    """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row."""
+                 csr_group: int = None,
+                 device_backtrace: bool = True,
+                 retry_on_overflow: bool = True,
+                 retry_margin: float = 1.5) -> List[Hypothesis]:
+    """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row.
+
+    This IS the throughput path the bench measures: traces stay on device
+    per chunk and the backtrace runs as a reversed device scan
+    (beam.backtrace_device) — only the final [B, T, W] word array and the
+    [B, K] beam come back to the host.  The reference's CLI is its bench
+    path too (src/main.cc:55-77); device_backtrace=False keeps the
+    per-frame host-trace walk for equivalence testing.
+
+    If a frame's expansion overflows an explicit config's capacities, the
+    geometry is regrown from the decode's own capacity high-water
+    telemetry (x retry_margin) and the batch is re-decoded ONCE — the
+    runtime analogue of the reference never truncating because it
+    iterates every arc (src/decoder.cc:337-377).  Only a second overflow
+    escapes as BeamCapacityError.  retry_on_overflow=False restores the
+    raise-first behavior.
+    """
     dec_fst, cap, olab2 = fst, None, None
     if close_eps:
         g2, olab2, mode = prepare_decode_graph(fst)
@@ -300,22 +319,63 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         config = safe_config(dec_fst, arc_group,
                              BeamConfig(am_scale=am_scale),
                              delta_lm is not None, csr_group=csr_group)
-    b, t, p = logp.shape
-    lengths = list(lengths) if lengths is not None else [t] * b
+        retry_on_overflow = False  # safe_config bounds cannot truncate
     dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
                            eps_depth_cap=cap, csr_group=csr_group,
                            olabel2=olab2)
     dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
-    has_lm = delta_lm is not None
+    try:
+        return _decode_batch_once(fst, dfst, dlm, logp, lengths, delta_lm,
+                                  config, chunk_frames, device_backtrace)
+    except BeamCapacityError as err:
+        if not retry_on_overflow or err.hiwater is None:
+            raise
+        regrown = _regrow_config(config, err.hiwater, retry_margin)
+        log.count("overflow_retries", 1)
+        import sys
+        print(f"# catears: capacity overflow (hiwater={err.hiwater}); "
+              f"regrowing geometry to expand={regrown.expand_size} "
+              f"eps={regrown.eps_expand_size} lm={regrown.lm_expand_size} "
+              f"and retrying once", file=sys.stderr)
+        return _decode_batch_once(fst, dfst, dlm, logp, lengths, delta_lm,
+                                  regrown, chunk_frames, device_backtrace)
 
+
+def _regrow_config(config: BeamConfig, hiwater, margin: float) -> BeamConfig:
+    """New geometry from measured demand: each overflowing capacity grows
+    to its high-water mark x margin (the mark is a lower bound on true
+    demand once truncation happened, hence the margin)."""
+    emit, eps, lm, _sel = (int(x) for x in hiwater)
+    grow = lambda cur, need: max(cur, _round_up(int(need * margin), 512))
+    return dataclasses.replace(
+        config,
+        expand_size=grow(config.expand_size, emit),
+        eps_expand_size=grow(config.eps_expand_size, eps),
+        lm_expand_size=(grow(config.lm_expand_size, lm)
+                        if config.lm_expand_size > 0 and lm else
+                        config.lm_expand_size),
+        select_compact=0,  # never retry into the experimental knob
+    )
+
+
+def _decode_batch_once(fst: FlatFst, dfst: DeviceFst,
+                       dlm: Optional[DeviceLm], logp: np.ndarray,
+                       lengths: Optional[Sequence[int]],
+                       delta_lm: Optional[DeltaLmFst],
+                       config: BeamConfig, chunk_frames: int,
+                       device_backtrace: bool) -> List[Hypothesis]:
+    has_lm = dlm is not None
+    b, t, p = logp.shape
+    lengths = list(lengths) if lengths is not None else [t] * b
     beam, init_trace = init_beam_batch(config, has_lm, b, dfst, dlm)
+    len_arr = np.asarray(lengths)
+    log.count("frames_decoded", int(len_arr.sum()))
+    dev_chunks = [jax.tree.map(lambda x: x[None], init_trace)]
     all_traces: List[List[HostTrace]] = [
         [HostTrace(np.asarray(init_trace.prev_slot[u]),
                    np.asarray(init_trace.words[u]))]
         for u in range(b)
-    ]
-    len_arr = np.asarray(lengths)
-    log.count("frames_decoded", int(len_arr.sum()))
+    ] if not device_backtrace else []
     for off in range(0, t, chunk_frames):
         n = min(chunk_frames, t - off)
         chunk = np.zeros((chunk_frames, b, p), np.float32)
@@ -323,12 +383,15 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         valid = (off + np.arange(chunk_frames))[:, None] < len_arr[None, :]
         beam, trace = decode_chunk(config, has_lm, dfst, dlm, beam,
                                    jnp.asarray(chunk), jnp.asarray(valid))
-        prev = np.asarray(trace.prev_slot)
-        words = np.asarray(trace.words)
-        for u in range(b):
-            n_valid = int(np.clip(len_arr[u] - off, 0, chunk_frames))
-            for f in range(n_valid):
-                all_traces[u].append(HostTrace(prev[f, u], words[f, u]))
+        if device_backtrace:
+            dev_chunks.append(jax.tree.map(lambda x: x[:n], trace))
+        else:
+            prev = np.asarray(trace.prev_slot)
+            words = np.asarray(trace.words)
+            for u in range(b):
+                n_valid = int(np.clip(len_arr[u] - off, 0, chunk_frames))
+                for f in range(n_valid):
+                    all_traces[u].append(HostTrace(prev[f, u], words[f, u]))
 
     overflow = np.asarray(beam.overflow)
     if overflow.any():
@@ -336,12 +399,46 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
         raise BeamCapacityError(
             f"arc expansion overflowed capacity (expand_size="
             f"{config.expand_size}, eps_expand_size="
-            f"{config.eps_expand_size}) for utterances {bad}")
+            f"{config.eps_expand_size}) for utterances {bad}",
+            hiwater=tuple(int(x)
+                          for x in np.asarray(beam.hiwater).max(axis=0)))
     states = np.asarray(beam.states)
     lms = np.asarray(beam.lm)
     costs = np.asarray(beam.costs)
+    if not device_backtrace:
+        return [
+            best_path(all_traces[u], states[u], lms[u], costs[u], fst,
+                      delta_lm, end_of_stream=True)
+            for u in range(b)
+        ]
+    # Exact final-weight selection on host (delta-LM finals need the
+    # backoff walk, reference src/fst.cc:235-251), then ONE device
+    # backtrace for the whole batch.  Identity trace rows past each
+    # utterance's length chain slot->slot with no words, so ragged
+    # lengths ride through the reversed scan unchanged.
+    from catears_tpu.decode.beam import backtrace_device
+    from catears_tpu.decode.hyp import assemble_words
+    best_slots = np.zeros(b, np.int32)
+    totals = np.zeros(b, np.float64)
+    empty = np.zeros(b, bool)
+    for u in range(b):
+        total = costs[u].astype(np.float64).copy()
+        valid = states[u] >= 0
+        idx = np.where(valid, states[u], 0)
+        total += np.where(valid, np.asarray(dfst.final)[idx], np.inf)
+        if delta_lm is not None:
+            for i in np.nonzero(valid & np.isfinite(total))[0]:
+                total[i] += delta_lm.final(int(lms[u, i]))
+        total[~valid] = np.inf
+        if not np.isfinite(total).any():
+            empty[u] = True
+            continue
+        best_slots[u] = int(np.argmin(total))
+        totals[u] = total[best_slots[u]]
+    traces = jax.tree.map(lambda *xs: jnp.concatenate(xs), *dev_chunks)
+    words = np.asarray(backtrace_device(traces, jnp.asarray(best_slots)))
     return [
-        best_path(all_traces[u], states[u], lms[u], costs[u], fst, delta_lm,
-                  end_of_stream=True)
+        Hypothesis([], 0.0) if empty[u]
+        else Hypothesis(assemble_words(words[u]), float(totals[u]))
         for u in range(b)
     ]

@@ -483,6 +483,16 @@ class DeviceLm:
         probe only when the first bucket says so.
         """
         n = ks.size
+        if n == 0:
+            # A G' whose arcs all live on state 0 (pure unigram LM) hashes
+            # nothing: every lookup resolves from the dense uni_next table
+            # or misses into the backoff walk.  A minimal all-empty table
+            # keeps the device lookup's bucket gather well-defined.
+            b = 256
+            tab = np.concatenate([np.full((b, slots), -1, np.int32),
+                                  np.zeros((b, 3 * slots), np.int32)],
+                                 axis=1)
+            return tab, 0x1234, 0x9876, b - 1
         b = 1 << max(8, int(np.ceil(np.log2(max(1, n / 2)))))
         for attempt in range(8):
             seed1, seed2 = 0x1234 + attempt, 0x9876 + 3 * attempt

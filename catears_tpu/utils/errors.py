@@ -48,6 +48,13 @@ class BeamCapacityError(CatEarsError):
 
     code = "RuntimeError"
 
+    def __init__(self, message: str = "", hiwater=None):
+        # hiwater: the decode's (emit_over, eps, lm_walk, select) capacity
+        # high-water marks at overflow time — lets the runtime regrow
+        # geometry from measured demand and retry (decode_batch).
+        super().__init__(message)
+        self.hiwater = hiwater
+
 
 def record_error(message: str) -> None:
     global _last_error

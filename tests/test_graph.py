@@ -314,3 +314,38 @@ class TestLmHashBuild:
             s, l = int(rng.randint(1, 50_000)), int(rng.randint(30_001,
                                                                 40_000))
             assert lookup(s, l) is None
+
+    def test_unigram_only_lm_builds_empty_hash(self):
+        """A G' whose arcs all live on state 0 (pure unigram LM) hashes
+        zero keys; the build must produce a valid empty table instead of
+        crashing, and lookups must resolve from the dense state-0 path
+        (round-4 advisor finding)."""
+        import types
+
+        import jax.numpy as jnp
+
+        from catears_tpu.graph.device import DeviceLm, lm_propagate
+        from catears_tpu.graph.fst import DeltaLmFst, LmFst
+
+        # state 0 only: <s>=1, </s>=2, words 3..6 all loop on state 0.
+        labels = np.arange(1, 7, dtype=np.int32)
+        weights = np.linspace(0.5, 3.0, 6).astype(np.float32)
+        lm = LmFst.from_arrays(
+            start=0, final=np.zeros(1, np.float32),
+            state_of_arc=np.zeros(6, np.int64), arc_next=np.zeros(6),
+            arc_ilabel=labels, arc_olabel=labels, arc_weight=weights)
+        small = np.zeros(7, np.float32)
+        delta = DeltaLmFst(small, lm,
+                           types.SimpleNamespace(bos_id=1, eos_id=2))
+        dlm = DeviceLm.build(delta)  # must not raise
+        qs = jnp.zeros(8, jnp.int32)
+        ql = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 6], jnp.int32)
+        out_s, out_w = lm_propagate(dlm, qs, ql)
+        for i in range(8):
+            lab = int(ql[i])
+            if lab == 0:
+                exp = (0, 0.0)
+            else:
+                exp = delta.get_arc(0, lab)
+            assert int(out_s[i]) == exp[0]
+            np.testing.assert_allclose(float(out_w[i]), exp[1], atol=1e-6)
