@@ -281,6 +281,84 @@ class Decoder:
         self.is_end_of_stream = state["is_end_of_stream"]
 
 
+class BatchDecoder:
+    """Reusable batched decoder: device graph built ONCE, decode many.
+
+    This IS the throughput path the bench measures: traces stay on device
+    per chunk and the backtrace runs as a reversed device scan
+    (beam.backtrace_device) — only the final [B, T, W] word array and the
+    [B, K] beam come back to the host.  The reference's CLI is its bench
+    path too (src/main.cc:55-77).  decode() accepts numpy OR device
+    log-probs; a device [B, T, P] array (e.g. straight from a batched AM
+    forward) is chunked with device slicing so nothing round-trips
+    through the host.
+    """
+
+    def __init__(self, fst: FlatFst, tid2pdf: np.ndarray,
+                 am_scale: float = 0.1,
+                 delta_lm: Optional[DeltaLmFst] = None,
+                 config: Optional[BeamConfig] = None,
+                 chunk_frames: int = 50,
+                 arc_group: int = 4,
+                 close_eps: bool = True,
+                 csr_group: int = None):
+        self.fst = fst
+        self.delta_lm = delta_lm
+        self.chunk_frames = chunk_frames
+        dec_fst, cap, olab2 = fst, None, None
+        if close_eps:
+            g2, olab2, mode = prepare_decode_graph(fst)
+            if mode != "raw":
+                dec_fst, cap = g2, 1
+        self.auto_capacity = config is None
+        if config is None:
+            config = safe_config(dec_fst, arc_group,
+                                 BeamConfig(am_scale=am_scale),
+                                 delta_lm is not None, csr_group=csr_group)
+        elif config.am_scale != am_scale:
+            config = dataclasses.replace(config, am_scale=am_scale)
+        self.cfg = config
+        self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
+                                    eps_depth_cap=cap, csr_group=csr_group,
+                                    olabel2=olab2)
+        self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
+
+    def decode(self, logp, lengths: Optional[Sequence[int]] = None,
+               device_backtrace: bool = True,
+               retry_on_overflow: bool = True,
+               retry_margin: float = 1.5) -> List[Hypothesis]:
+        """Decode a [B, T, P] log-prob batch; one Hypothesis per row.
+
+        If a frame's expansion overflows an explicit config's capacities,
+        the geometry is regrown from the decode's own capacity high-water
+        telemetry (x retry_margin) and the batch is re-decoded ONCE — the
+        runtime analogue of the reference never truncating because it
+        iterates every arc (src/decoder.cc:337-377).  Only a second
+        overflow escapes as BeamCapacityError.  retry_on_overflow=False
+        restores the raise-first behavior.
+        """
+        if self.auto_capacity:
+            retry_on_overflow = False  # safe_config bounds cannot truncate
+        try:
+            return _decode_batch_once(self.fst, self.dfst, self.dlm, logp,
+                                      lengths, self.delta_lm, self.cfg,
+                                      self.chunk_frames, device_backtrace)
+        except BeamCapacityError as err:
+            if not retry_on_overflow or err.hiwater is None:
+                raise
+            regrown = _regrow_config(self.cfg, err.hiwater, retry_margin)
+            log.count("overflow_retries", 1)
+            import sys
+            print(f"# catears: capacity overflow (hiwater={err.hiwater}); "
+                  f"regrowing geometry to expand={regrown.expand_size} "
+                  f"eps={regrown.eps_expand_size} "
+                  f"lm={regrown.lm_expand_size} and retrying once",
+                  file=sys.stderr)
+            return _decode_batch_once(self.fst, self.dfst, self.dlm, logp,
+                                      lengths, self.delta_lm, regrown,
+                                      self.chunk_frames, device_backtrace)
+
+
 def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  lengths: Optional[Sequence[int]] = None,
                  am_scale: float = 0.1,
@@ -293,52 +371,13 @@ def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
                  device_backtrace: bool = True,
                  retry_on_overflow: bool = True,
                  retry_margin: float = 1.5) -> List[Hypothesis]:
-    """Decode a [B, T, P] log-prob batch; returns one Hypothesis per row.
-
-    This IS the throughput path the bench measures: traces stay on device
-    per chunk and the backtrace runs as a reversed device scan
-    (beam.backtrace_device) — only the final [B, T, W] word array and the
-    [B, K] beam come back to the host.  The reference's CLI is its bench
-    path too (src/main.cc:55-77); device_backtrace=False keeps the
-    per-frame host-trace walk for equivalence testing.
-
-    If a frame's expansion overflows an explicit config's capacities, the
-    geometry is regrown from the decode's own capacity high-water
-    telemetry (x retry_margin) and the batch is re-decoded ONCE — the
-    runtime analogue of the reference never truncating because it
-    iterates every arc (src/decoder.cc:337-377).  Only a second overflow
-    escapes as BeamCapacityError.  retry_on_overflow=False restores the
-    raise-first behavior.
-    """
-    dec_fst, cap, olab2 = fst, None, None
-    if close_eps:
-        g2, olab2, mode = prepare_decode_graph(fst)
-        if mode != "raw":
-            dec_fst, cap = g2, 1
-    if config is None:
-        config = safe_config(dec_fst, arc_group,
-                             BeamConfig(am_scale=am_scale),
-                             delta_lm is not None, csr_group=csr_group)
-        retry_on_overflow = False  # safe_config bounds cannot truncate
-    dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                           eps_depth_cap=cap, csr_group=csr_group,
-                           olabel2=olab2)
-    dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
-    try:
-        return _decode_batch_once(fst, dfst, dlm, logp, lengths, delta_lm,
-                                  config, chunk_frames, device_backtrace)
-    except BeamCapacityError as err:
-        if not retry_on_overflow or err.hiwater is None:
-            raise
-        regrown = _regrow_config(config, err.hiwater, retry_margin)
-        log.count("overflow_retries", 1)
-        import sys
-        print(f"# catears: capacity overflow (hiwater={err.hiwater}); "
-              f"regrowing geometry to expand={regrown.expand_size} "
-              f"eps={regrown.eps_expand_size} lm={regrown.lm_expand_size} "
-              f"and retrying once", file=sys.stderr)
-        return _decode_batch_once(fst, dfst, dlm, logp, lengths, delta_lm,
-                                  regrown, chunk_frames, device_backtrace)
+    """One-shot decode of a [B, T, P] batch (see BatchDecoder)."""
+    return BatchDecoder(fst, tid2pdf, am_scale=am_scale, delta_lm=delta_lm,
+                        config=config, chunk_frames=chunk_frames,
+                        arc_group=arc_group, close_eps=close_eps,
+                        csr_group=csr_group).decode(
+        logp, lengths, device_backtrace=device_backtrace,
+        retry_on_overflow=retry_on_overflow, retry_margin=retry_margin)
 
 
 def _regrow_config(config: BeamConfig, hiwater, margin: float) -> BeamConfig:
@@ -365,11 +404,14 @@ def _decode_batch_once(fst: FlatFst, dfst: DeviceFst,
                        config: BeamConfig, chunk_frames: int,
                        device_backtrace: bool) -> List[Hypothesis]:
     has_lm = dlm is not None
+    on_device = isinstance(logp, jnp.ndarray)
     b, t, p = logp.shape
     lengths = list(lengths) if lengths is not None else [t] * b
     beam, init_trace = init_beam_batch(config, has_lm, b, dfst, dlm)
     len_arr = np.asarray(lengths)
     log.count("frames_decoded", int(len_arr.sum()))
+    if on_device:
+        logp_t = jnp.transpose(logp, (1, 0, 2))  # [T, B, P], stays on device
     dev_chunks = [jax.tree.map(lambda x: x[None], init_trace)]
     all_traces: List[List[HostTrace]] = [
         [HostTrace(np.asarray(init_trace.prev_slot[u]),
@@ -378,11 +420,18 @@ def _decode_batch_once(fst: FlatFst, dfst: DeviceFst,
     ] if not device_backtrace else []
     for off in range(0, t, chunk_frames):
         n = min(chunk_frames, t - off)
-        chunk = np.zeros((chunk_frames, b, p), np.float32)
-        chunk[:n] = np.transpose(logp[:, off:off + n], (1, 0, 2))
         valid = (off + np.arange(chunk_frames))[:, None] < len_arr[None, :]
+        if on_device:
+            lp = logp_t[off:off + n]
+            if n < chunk_frames:
+                lp = jnp.concatenate(
+                    [lp, jnp.zeros((chunk_frames - n, b, p), jnp.float32)])
+        else:
+            chunk = np.zeros((chunk_frames, b, p), np.float32)
+            chunk[:n] = np.transpose(logp[:, off:off + n], (1, 0, 2))
+            lp = jnp.asarray(chunk)
         beam, trace = decode_chunk(config, has_lm, dfst, dlm, beam,
-                                   jnp.asarray(chunk), jnp.asarray(valid))
+                                   lp, jnp.asarray(valid))
         if device_backtrace:
             dev_chunks.append(jax.tree.map(lambda x: x[:n], trace))
         else:

@@ -116,6 +116,60 @@ def read_vocab(path: str) -> Dict[str, int]:
     return vocab
 
 
+def fit_bigram_arpa(sequences: List[List[str]], vocab: List[str],
+                    bos: str = "<s>", eos: str = "</s>",
+                    discount: float = 0.4) -> List[str]:
+    """Fit an absolute-discounting backoff bigram on word sequences.
+
+    Returns ARPA lines (the format tool/mkgraph_hcl.sh feeds arpa2fst,
+    reference tool/mkgraph_hcl.sh:53-55).  Unigrams cover the WHOLE
+    `vocab` (add-one smoothed) so every HCLG output label has a finite
+    unigram cost for the subtraction vector; bigrams are the observed
+    ones with absolute discounting, mass released to the backoff.
+    """
+    from collections import Counter
+
+    uni = Counter()
+    bi = Counter()
+    for seq in sequences:
+        prev = bos
+        for w in list(seq) + [eos]:
+            uni[w] += 1
+            bi[(prev, w)] += 1
+            prev = w
+        uni[bos] += 1
+    n_tokens = sum(uni.values())
+    v = len(vocab) + 2  # + <s>, </s>
+    words = [bos, eos] + [w for w in vocab if w not in (bos, eos)]
+    p_uni = {w: (uni[w] + 1.0) / (n_tokens + v) for w in words}
+
+    ctx_count = Counter()
+    ctx_types = Counter()
+    ctx_seen_uni = Counter()  # unigram mass of words seen after h
+    for (h, w), c in bi.items():
+        ctx_count[h] += c
+        ctx_types[h] += 1
+        ctx_seen_uni[h] += p_uni[w]
+    lines = ["\\data\\", f"ngram 1={len(words)}", f"ngram 2={len(bi)}", "",
+             "\\1-grams:"]
+    for w in words:
+        p = math.log10(p_uni[w]) if w != bos else -99.0
+        backoff = 0.0
+        if ctx_count[w]:
+            # Katz-style normalization: released bigram mass over the
+            # unigram mass of the unseen continuations.
+            released = discount * ctx_types[w] / ctx_count[w]
+            unseen = max(1.0 - ctx_seen_uni[w], 1e-6)
+            backoff = math.log10(released / unseen)
+        lines.append(f"{p:.6f}\t{w}\t{backoff:.6f}")
+    lines += ["", "\\2-grams:"]
+    for (h, w), c in sorted(bi.items()):
+        p = (c - discount) / ctx_count[h]
+        lines.append(f"{math.log10(p):.6f}\t{h} {w}")
+    lines += ["", "\\end\\"]
+    return lines
+
+
 def main_prune(argv=None) -> int:
     """stdin ARPA -> stdout order-1 ARPA (tool/prune_lm.py parity)."""
     for line in prune_to_unigram(sys.stdin):

@@ -65,14 +65,37 @@ def _pdf_signature(num_pdfs: int, num_phones: int, variants: int,
 
 
 class Synthesizer:
-    """Waveform renderer for pdf-target sequences of one TrieGraph."""
+    """Waveform renderer for pdf-target sequences of one TrieGraph.
+
+    markov=True gives word sequences BIGRAM structure (each word has a
+    hidden set of likely successors) instead of IID pareto draws — the
+    structure a corpus-fitted n-gram G' can actually model, so delta-LM
+    rescoring has signal to add (scripts/realism.py LM-on experiment).
+    The successor table is drawn once from the constructor rng; sampling
+    stays deterministic in the per-utterance rng.
+    """
 
     def __init__(self, graph: TrieGraph, num_phones: int, variants: int,
-                 rng: np.random.RandomState, snr_noise: float = 0.12):
+                 rng: np.random.RandomState, snr_noise: float = 0.12,
+                 markov: bool = False):
         self.graph = graph
         self.freqs, self.amps = _pdf_signature(graph.num_pdfs, num_phones,
                                                variants, rng)
         self.snr_noise = snr_noise
+        self.successors = None
+        if markov:
+            # 3 likely successors per word, themselves pareto-biased so
+            # the chain keeps revisiting a learnable core vocabulary.
+            n = graph.num_words
+            self.successors = 1 + np.minimum(
+                (rng.pareto(0.8, size=(n + 1, 3)) * 3).astype(np.int64),
+                n - 1)
+
+    def _next_word(self, rng: np.random.RandomState, prev: int) -> int:
+        g = self.graph
+        if self.successors is not None and prev > 0 and rng.rand() < 0.75:
+            return int(self.successors[prev, rng.randint(3)])
+        return 1 + min(int(rng.pareto(0.8) * 3), g.num_words - 1)
 
     def render(self, rng: np.random.RandomState,
                targets: np.ndarray) -> np.ndarray:
@@ -108,7 +131,7 @@ class Synthesizer:
         words: List[int] = []
         t = 0
         while True:
-            w = 1 + min(int(rng.pareto(0.8) * 3), g.num_words - 1)
+            w = self._next_word(rng, words[-1] if words else 0)
             pdfs = g.word_pdf_flat[g.word_pdf_off[w]:g.word_pdf_off[w + 1]]
             durs = rng.randint(2, 5, size=pdfs.size)
             seq = np.repeat(pdfs, durs)

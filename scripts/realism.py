@@ -17,11 +17,28 @@ experiment (SURVEY.md §6, /root/reference/doc/debug.md methodology):
      transcript parity on the two real test WAVs at full 618k-state
      scale.
 
-Run (defaults = headline scale, ~30 min incl. reference decode):
+Round-5 additions:
+  3. DELTA-LM accuracy: training word sequences (now drawn from a hidden
+     Markov word chain, so bigrams are learnable) fit a backoff bigram
+     ARPA (tools.lm.fit_bigram_arpa); G' is built by tools.arpa (the
+     pure-Python arpa2fst) and exported with the unigram subtraction
+     vector in BOTH engines' formats (`large_lm`/`original_lm`,
+     reference src/ce_stt.cc:82-110).  The 20 test utterances decode
+     LM-on in both engines: WER ours-LM-on vs ours-LM-off vs
+     reference-LM-on, measured — not implied.
+  4. DEEP PARITY: any utterance whose transcript differs from the
+     reference at comparable budgets is re-decoded by BOTH engines at
+     effectively UNPRUNED budgets (ours: beam 32768; reference: a
+     kBeamSize=3M build where only the width-16 beam prunes,
+     scripts/build_reference_unpruned.sh) to show the residual
+     mismatches are pruning-order effects, not search semantics.
+
+Run (defaults = headline scale, ~40 min incl. reference decodes):
   python scripts/realism.py
 Env: WORDS (50000), UTTS_TRAIN (240), UTTS_TEST (20), SECONDS (8),
      STEPS (3000), BEAMS (1024,2048,4096), SKIP_REF=1 to skip the
-     reference side.
+     reference side, SKIP_LM=1 / SKIP_DEEP=1 to skip the round-5
+     sections.
 """
 
 import json
@@ -117,17 +134,20 @@ def main():
     log(f"building {WORDS}-word trie...")
     g = make_trie_graph(rng, num_words=WORDS, num_phones=NUM_PHONES,
                         variants=VARIANTS)
-    synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng)
+    # markov=True: word sequences carry bigram structure a fitted G' can
+    # model — the signal the delta-LM experiment rescoring needs.
+    synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng, markov=True)
     spec = make_toy_nnet(rng, hidden=HIDDEN, num_pdfs=g.num_pdfs,
                          num_tdnn_layers=5)
     left, right = spec.left_context, spec.right_context
 
     log(f"synthesizing {UTTS_TRAIN} training utterances x {SECONDS}s...")
-    waves, all_targets = [], []
+    waves, all_targets, train_words = [], [], []
     for _ in range(UTTS_TRAIN):
-        s, t, _ = synth.utterance(rng, frames)
+        s, t, ws = synth.utterance(rng, frames)
         waves.append(s)
         all_targets.append(t)
+        train_words.append(ws)
     feats = compute_feats(waves)
     data, labels_all = [], []
     for f, t in zip(feats, all_targets):
@@ -162,10 +182,52 @@ def main():
                "num_pdfs": g.num_pdfs, "utts": UTTS_TEST,
                "seconds": SECONDS}
 
+    # --- delta-LM artifacts: corpus-fitted bigram G' for BOTH engines ----
+    ours_lm_conf = ref_lm_conf = None
+    if os.environ.get("SKIP_LM") != "1":
+        from catears_tpu.io.binfmt import write_pkfst, write_vec0
+        from catears_tpu.tools.arpa import arpa_to_fst
+        from catears_tpu.tools.lm import (
+            build_cost_vector,
+            fit_bigram_arpa,
+            read_unigram_costs,
+        )
+
+        vocab_list = [f"word{i}" for i in range(1, WORDS + 1)]
+        corpus = [[f"word{w}" for w in ws] for ws in train_words]
+        arpa_path = os.path.join(OUT, "corpus.arpa")
+        with open(arpa_path, "w") as fd:
+            fd.write("\n".join(fit_bigram_arpa(corpus, vocab_list)) + "\n")
+        vocab_map = {w: i for i, w in enumerate(vocab_list, start=1)}
+        vocab_map["<s>"] = WORDS + 1
+        vocab_map["</s>"] = WORDS + 2
+        gfst, _ = arpa_to_fst(arpa_path, vocab=vocab_map)
+        log(f"fitted bigram G': {gfst.num_states} states, "
+            f"{gfst.num_arcs} arcs")
+        with open(os.path.join(OUT, "lm.fst"), "wb") as fd:
+            write_pkfst(fd, gfst.to_raw())
+        costs = read_unigram_costs(arpa_path)
+        costs["<s>"] = 0.0
+        with open(os.path.join(OUT, "lm.uni"), "wb") as fd:
+            write_vec0(fd, build_cost_vector(costs, vocab_map))
+        for base, name in ((our_conf, "ours_lm.conf"),
+                           (ref_conf, "ref_lm.conf")):
+            with open(base) as fd:
+                content = fd.read()
+            path = os.path.join(OUT, name)
+            with open(path, "w") as fd:
+                fd.write(content
+                         + "large_lm = lm.fst\noriginal_lm = lm.uni\n")
+            if name.startswith("ours"):
+                ours_lm_conf = path
+            else:
+                ref_lm_conf = path
+
     # --- ours: WER vs beam under trained acoustics -----------------------
     from catears_tpu.runtime.batch import decode_scp
     from catears_tpu.runtime.recognizer import Recognizer
 
+    os.environ.setdefault("CATEARS_TIMING", "1")
     our_hyps = {}
     for beam in BEAMS:
         cfg = BeamConfig(beam_size=beam, expand_size=32768,
@@ -179,6 +241,21 @@ def main():
         w = wer_of(hyp_words, truths)
         log(f"ours beam={beam}: WER {w:.4f} ({dt:.0f}s)")
         results[f"ours_wer_beam{beam}"] = round(w, 4)
+
+    # --- ours: LM-on at the production beam ------------------------------
+    our_lm_hyps = None
+    if ours_lm_conf is not None:
+        cfg = BeamConfig(beam_size=2048, expand_size=32768,
+                         eps_expand_size=8192, max_eps_iters=3)
+        rec = Recognizer(ours_lm_conf, beam_config=cfg)
+        assert rec.delta_lm is not None
+        t0 = time.time()
+        hyps = decode_scp(rec, scp, batch_size=min(UTTS_TEST, 10))
+        dt = time.time() - t0
+        our_lm_hyps = [h.split() for _, h in hyps]
+        w = wer_of(our_lm_hyps, truths)
+        log(f"ours beam=2048 LM-ON: WER {w:.4f} ({dt:.0f}s)")
+        results["ours_wer_lm_beam2048"] = round(w, 4)
 
     # --- reference binary at its 30k budget ------------------------------
     # Two reference builds: STOCK (as shipped — at this scale it hits a
@@ -236,6 +313,74 @@ def main():
         results["cross_wer_ours_vs_ref"] = round(cross, 4)
         log(f"engine agreement: {agree}/{UTTS_TEST} identical, "
             f"cross-WER {cross:.4f}")
+
+        # --- reference LM-ON (same G' artifacts) -------------------------
+        if ref_lm_conf is not None:
+            t0 = time.time()
+            ref_lm_out = subprocess.run([fixed_bin, ref_lm_conf, scp],
+                                        capture_output=True, text=True,
+                                        timeout=7200)
+            dt = time.time() - t0
+            assert ref_lm_out.returncode == 0, ref_lm_out.stderr[-2000:]
+            ref_lm_hyps = [line.split()[1:]
+                           for line in ref_lm_out.stdout.splitlines()]
+            w = wer_of(ref_lm_hyps, truths)
+            log(f"reference GC-FIXED LM-ON (30k budget): WER {w:.4f} "
+                f"({dt:.0f}s)")
+            results["ref_wer_lm_30k"] = round(w, 4)
+            if our_lm_hyps is not None:
+                agree_lm = sum(1 for a, b in zip(our_lm_hyps, ref_lm_hyps)
+                               if a == b)
+                results["lm_transcripts_identical"] = \
+                    f"{agree_lm}/{UTTS_TEST}"
+                results["lm_cross_wer"] = round(
+                    wer_of(our_lm_hyps, ref_lm_hyps), 4)
+                log(f"LM-on engine agreement: {agree_lm}/{UTTS_TEST}, "
+                    f"cross-WER {results['lm_cross_wer']:.4f}")
+
+        # --- deep parity: re-decode mismatches at UNPRUNED budgets -------
+        best_beam = max(our_hyps)
+        mism = [i for i in range(UTTS_TEST)
+                if our_hyps[best_beam][i] != ref_hyps[i]]
+        results["mismatches_at_comparable"] = len(mism)
+        if mism and os.environ.get("SKIP_DEEP") != "1" and len(mism) <= 6:
+            unpruned_bin = os.environ.get(
+                "CATEARS_REFERENCE_UNPRUNED_BIN",
+                "/tmp/refbuild_unpruned/pocketkaldi")
+            if not os.path.exists(unpruned_bin):
+                subprocess.run(
+                    ["bash", os.path.join(os.path.dirname(__file__),
+                                          "build_reference_unpruned.sh")],
+                    check=True, capture_output=True, timeout=600)
+            deep_scp = os.path.join(OUT, "deep.scp")
+            with open(deep_scp, "w") as fd:
+                for i in mism:
+                    fd.write(f"utt{i} {os.path.join(OUT, f'test{i}.wav')}\n")
+            t0 = time.time()
+            ref_deep = subprocess.run([unpruned_bin, ref_conf, deep_scp],
+                                      capture_output=True, text=True,
+                                      timeout=7200)
+            assert ref_deep.returncode == 0, ref_deep.stderr[-2000:]
+            ref_deep_hyps = [line.split()[1:]
+                             for line in ref_deep.stdout.splitlines()]
+            cfg = BeamConfig(beam_size=32768, expand_size=131072,
+                             eps_expand_size=16384, max_eps_iters=3)
+            rec = Recognizer(our_conf, beam_config=cfg)
+            ours_deep = [h.split() for _, h in
+                         decode_scp(rec, deep_scp,
+                                    batch_size=len(mism))]
+            deep_agree = sum(1 for a, b in zip(ours_deep, ref_deep_hyps)
+                             if a == b)
+            log(f"deep parity (ours beam 32768 vs reference kBeamSize 3M):"
+                f" {deep_agree}/{len(mism)} of the mismatched utterances "
+                f"now identical ({time.time() - t0:.0f}s)")
+            results["deep_parity"] = f"{deep_agree}/{len(mism)}"
+            if deep_agree < len(mism):
+                for j, i in enumerate(mism):
+                    if ours_deep[j] != ref_deep_hyps[j]:
+                        log(f"  utt{i} STILL differs: "
+                            f"ours={' '.join(ours_deep[j][:12])!r} "
+                            f"ref={' '.join(ref_deep_hyps[j][:12])!r}")
 
         # --- headline-scale parity on the two REAL wavs ------------------
         for wav in ("en-us-hello.wav", "en-us-cat.wav"):

@@ -305,6 +305,67 @@ ngram 3=2
                 assert eps[0] == 0
 
 
+class TestFitBigram:
+    def test_fit_normalizes_and_scores(self, tmp_path):
+        """fit_bigram_arpa produces a well-formed backoff bigram: per
+        history the probabilities of all continuations (observed bigrams
+        + backoff x unseen unigrams) sum to ~1, the FST walk agrees with
+        the raw-table scorer, and observed bigrams beat unseen ones."""
+        from catears_tpu.graph.fst import LmFst
+        from catears_tpu.tools.arpa import (arpa_to_fst, parse_arpa,
+                                            sentence_cost)
+        from catears_tpu.tools.lm import fit_bigram_arpa
+
+        rng = np.random.RandomState(0)
+        vocab = [f"w{i}" for i in range(1, 9)]
+        # Markov corpus: w_i prefers w_{i+1 mod 8}
+        seqs = []
+        for _ in range(200):
+            seq, cur = [], rng.randint(1, 9)
+            for _ in range(rng.randint(3, 10)):
+                seq.append(f"w{cur}")
+                cur = (cur % 8) + 1 if rng.rand() < 0.8 \
+                    else rng.randint(1, 9)
+            seqs.append(seq)
+        lines = fit_bigram_arpa(seqs, vocab)
+        grams = parse_arpa(lines)
+        # Per-history normalization
+        p_uni = {w: 10 ** p for (w,), (p, _) in grams[0].items()}
+        for (h,), (_, bo) in grams[0].items():
+            if h == "</s>":
+                continue
+            seen = {w: 10 ** p for (hh, w), (p, _) in grams[1].items()
+                    if hh == h}
+            if not seen:
+                continue
+            unseen_mass = sum(p for w, p in p_uni.items()
+                              if w not in seen and w != "<s>")
+            total = sum(seen.values()) + 10 ** bo * unseen_mass
+            assert abs(total - 1.0) < 0.05, (h, total)
+        # FST parity with the raw table scorer
+        path = tmp_path / "fit.arpa"
+        path.write_text("\n".join(lines) + "\n")
+        fst, vmap = arpa_to_fst(str(path))
+        lm = LmFst(**fst.__dict__)
+
+        def fst_cost(words):
+            s, total = fst.start, 0.0
+            for w in list(words) + ["</s>"]:
+                hit = lm.get_arc_backoff(s, vmap[w])
+                assert hit is not None
+                s, wgt = hit
+                total += wgt
+            return total
+
+        for sent in (["w1", "w2", "w3"], ["w5", "w1", "w8"], ["w8"]):
+            ref = sentence_cost(grams, sent)
+            got = fst_cost(sent)
+            assert abs(ref - got) < 1e-4, (sent, ref, got)
+        # The chain structure is learned: following the chain is cheaper.
+        assert (sentence_cost(grams, ["w1", "w2", "w3", "w4"])
+                < sentence_cost(grams, ["w1", "w7", "w3", "w8"]))
+
+
 class TestExtractId2Pdf:
     MDL = """<TransitionModel>
 <Topology>
