@@ -146,34 +146,50 @@ class Decoder:
                  chunk_frames: int = 20,
                  arc_group: int = 4,
                  close_eps: bool = True,
-                 csr_group: int = None):
+                 csr_group: int = None,
+                 dfst: Optional[DeviceFst] = None,
+                 dlm: Optional[DeviceLm] = None):
         auto_capacity = config is None
         if config is None:
             config = BeamConfig(am_scale=am_scale)
         elif config.am_scale != am_scale:
             config = BeamConfig(**{**config.__dict__, "am_scale": am_scale})
-        # Offline epsilon pipeline: close chains, then fold the closed
-        # spans into composed emitting arcs so the frame loop is eps-free
-        # (exact transforms; see graph.transform.prepare_decode_graph).
-        dec_fst, cap, olab2 = fst, None, None
-        if close_eps:
-            g2, olab2, mode = prepare_decode_graph(fst)
-            if mode != "raw":
-                dec_fst, cap = g2, 1
-        if auto_capacity:
-            # No explicit geometry: size capacities so truncation is
-            # impossible on this graph.  Explicit configs keep their
-            # (smaller, faster) capacities and rely on the runtime
-            # overflow flag raising BeamCapacityError.
-            config = safe_config(dec_fst, arc_group, config,
-                                 delta_lm is not None, csr_group=csr_group)
+        if dfst is not None:
+            # Adopt a prebuilt device graph (the runtime caches one per
+            # Recognizer so repeated utterances skip the transform+build).
+            assert not auto_capacity, \
+                "prebuilt dfst requires an explicit BeamConfig"
+            self.dfst = dfst
+        else:
+            # Offline epsilon pipeline: close chains, then fold the
+            # closed spans into composed emitting arcs so the frame loop
+            # is eps-free (exact transforms; see
+            # graph.transform.prepare_decode_graph).
+            dec_fst, cap, olab2 = fst, None, None
+            if close_eps:
+                g2, olab2, mode = prepare_decode_graph(fst)
+                if mode != "raw":
+                    dec_fst, cap = g2, 1
+            if auto_capacity:
+                # No explicit geometry: size capacities so truncation is
+                # impossible on this graph.  Explicit configs keep their
+                # (smaller, faster) capacities and rely on the runtime
+                # overflow flag raising BeamCapacityError.
+                config = safe_config(dec_fst, arc_group, config,
+                                     delta_lm is not None,
+                                     csr_group=csr_group)
+            self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
+                                        eps_depth_cap=cap,
+                                        csr_group=csr_group,
+                                        olabel2=olab2)
         self.cfg = config
         self.fst = fst
         self.delta_lm = delta_lm
-        self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                                    eps_depth_cap=cap, csr_group=csr_group,
-                                    olabel2=olab2)
-        self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
+        if dlm is not None:
+            self.dlm = dlm
+        else:
+            self.dlm = (DeviceLm.build(delta_lm)
+                        if delta_lm is not None else None)
         self.has_lm = delta_lm is not None
         self.chunk_frames = chunk_frames
         self.initialize()
@@ -301,12 +317,13 @@ class BatchDecoder:
                  chunk_frames: int = 50,
                  arc_group: int = 4,
                  close_eps: bool = True,
-                 csr_group: int = None):
+                 csr_group: int = None,
+                 dfst: Optional[DeviceFst] = None):
         self.fst = fst
         self.delta_lm = delta_lm
         self.chunk_frames = chunk_frames
         dec_fst, cap, olab2 = fst, None, None
-        if close_eps:
+        if close_eps and dfst is None:
             g2, olab2, mode = prepare_decode_graph(fst)
             if mode != "raw":
                 dec_fst, cap = g2, 1
@@ -318,15 +335,19 @@ class BatchDecoder:
         elif config.am_scale != am_scale:
             config = dataclasses.replace(config, am_scale=am_scale)
         self.cfg = config
-        self.dfst = DeviceFst.build(dec_fst, tid2pdf, group=arc_group,
-                                    eps_depth_cap=cap, csr_group=csr_group,
-                                    olabel2=olab2)
+        # dfst: adopt a prebuilt device graph (bench/profilers) — `fst`
+        # must then be the same (already-transformed) graph the tables
+        # were built from, as its final weights drive BestPath.
+        self.dfst = dfst if dfst is not None else DeviceFst.build(
+            dec_fst, tid2pdf, group=arc_group, eps_depth_cap=cap,
+            csr_group=csr_group, olabel2=olab2)
         self.dlm = DeviceLm.build(delta_lm) if delta_lm is not None else None
 
     def decode(self, logp, lengths: Optional[Sequence[int]] = None,
                device_backtrace: bool = True,
                retry_on_overflow: bool = True,
-               retry_margin: float = 1.5) -> List[Hypothesis]:
+               retry_margin: float = 1.5,
+               final_fallback: bool = False) -> List[Hypothesis]:
         """Decode a [B, T, P] log-prob batch; one Hypothesis per row.
 
         If a frame's expansion overflows an explicit config's capacities,
@@ -336,13 +357,20 @@ class BatchDecoder:
         iterates every arc (src/decoder.cc:337-377).  Only a second
         overflow escapes as BeamCapacityError.  retry_on_overflow=False
         restores the raise-first behavior.
+
+        final_fallback=True backtraces the cheapest token when no final
+        state is reachable (the reference's PARTIAL-hypothesis selection,
+        src/decoder.cc:398) instead of returning the reference's exact
+        EOS behavior (an empty hypothesis, src/decoder.cc:412) — for
+        workloads whose audio may end mid-word.
         """
         if self.auto_capacity:
             retry_on_overflow = False  # safe_config bounds cannot truncate
         try:
             return _decode_batch_once(self.fst, self.dfst, self.dlm, logp,
                                       lengths, self.delta_lm, self.cfg,
-                                      self.chunk_frames, device_backtrace)
+                                      self.chunk_frames, device_backtrace,
+                                      final_fallback)
         except BeamCapacityError as err:
             if not retry_on_overflow or err.hiwater is None:
                 raise
@@ -356,7 +384,8 @@ class BatchDecoder:
                   file=sys.stderr)
             return _decode_batch_once(self.fst, self.dfst, self.dlm, logp,
                                       lengths, self.delta_lm, regrown,
-                                      self.chunk_frames, device_backtrace)
+                                      self.chunk_frames, device_backtrace,
+                                      final_fallback)
 
 
 def decode_batch(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
@@ -402,7 +431,8 @@ def _decode_batch_once(fst: FlatFst, dfst: DeviceFst,
                        lengths: Optional[Sequence[int]],
                        delta_lm: Optional[DeltaLmFst],
                        config: BeamConfig, chunk_frames: int,
-                       device_backtrace: bool) -> List[Hypothesis]:
+                       device_backtrace: bool,
+                       final_fallback: bool = False) -> List[Hypothesis]:
     has_lm = dlm is not None
     on_device = isinstance(logp, jnp.ndarray)
     b, t, p = logp.shape
@@ -480,8 +510,12 @@ def _decode_batch_once(fst: FlatFst, dfst: DeviceFst,
                 total[i] += delta_lm.final(int(lms[u, i]))
         total[~valid] = np.inf
         if not np.isfinite(total).any():
-            empty[u] = True
-            continue
+            if not final_fallback:
+                empty[u] = True
+                continue
+            # Partial-hypothesis selection (reference pre-EOS BestPath):
+            # cheapest token regardless of final weight.
+            total = np.where(valid, costs[u], np.inf)
         best_slots[u] = int(np.argmin(total))
         totals[u] = total[best_slots[u]]
     traces = jax.tree.map(lambda *xs: jnp.concatenate(xs), *dev_chunks)

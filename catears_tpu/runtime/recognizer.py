@@ -89,6 +89,32 @@ class Recognizer:
     def create_utterance(self, fmt: WaveFormat) -> "Utterance":
         return Utterance(self, fmt)
 
+    def create_stream_batch(self, n_streams: int):
+        """N concurrent live streams in one fused device program per
+        chunk step (runtime.streaming.BatchStreamingSession) — the
+        TPU-native production shape of the reference's streaming design
+        center (src/ce_stt.cc:295-340)."""
+        from catears_tpu.runtime.streaming import BatchStreamingSession
+
+        cfg, dfst, dlm = self._decode_graph()
+        return BatchStreamingSession(
+            self.am, self.fst, self.delta_lm, cfg, dfst, dlm, n_streams,
+            chunk_frames=PARTIAL_HYP_INTERVAL, cmvn_stats=self.cmvn_stats)
+
+    def _decode_graph(self):
+        """Cached (BeamConfig, DeviceFst, DeviceLm): the device graph is
+        built once per Recognizer, not once per utterance."""
+        cached = getattr(self, "_graph_cache", None)
+        if cached is None:
+            dec = Decoder(
+                self.fst, self.am.tid2pdf, am_scale=AM_SCALE,
+                delta_lm=self.delta_lm, config=self.beam_config,
+                chunk_frames=PARTIAL_HYP_INTERVAL,
+                arc_group=self.arc_group, csr_group=self.csr_group)
+            cached = (dec.cfg, dec.dfst, dec.dlm)
+            self._graph_cache = cached
+        return cached
+
 
 class Utterance:
     """One streaming decode session.
@@ -107,12 +133,11 @@ class Utterance:
         self.wave_reader = WaveReader()
         self.wave_reader.set_format(fmt)
         self.cmvn_stream = None
+        cfg, dfst, dlm = recognizer._decode_graph()
         self.decoder = Decoder(
             recognizer.fst, recognizer.am.tid2pdf, am_scale=AM_SCALE,
-            delta_lm=recognizer.delta_lm, config=recognizer.beam_config,
-            chunk_frames=PARTIAL_HYP_INTERVAL,
-            arc_group=recognizer.arc_group,
-            csr_group=recognizer.csr_group)
+            delta_lm=recognizer.delta_lm, config=cfg,
+            chunk_frames=PARTIAL_HYP_INTERVAL, dfst=dfst, dlm=dlm)
         self.session = None
         if fused:
             from catears_tpu.runtime.streaming import StreamingSession

@@ -126,6 +126,59 @@ def _am_only(nnet_def, quantized, params, log_prior, window):
     return _am_apply(nnet_def, quantized, params, log_prior, window)
 
 
+def _maybe_cmvn_batch(cmvn: bool, feats, cm, active):
+    """Vmapped CMVN rings; inactive streams keep their ring/count."""
+    if not cmvn:
+        return feats, cm
+    gsum, gcount, rings, counts = cm
+    out, new_rings, new_counts = jax.vmap(
+        lambda r, c, f: _device_cmvn_chunk(gsum, gcount, r, c, f)
+    )(rings, counts, feats)
+    keep = active[:, None, None]
+    return out, (gsum, gcount,
+                 jnp.where(keep, new_rings, rings),
+                 jnp.where(active, new_counts, counts))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _bfused_first(nnet_def, cfg: BeamConfig, has_lm: bool, quantized: bool,
+                  cmvn: bool, n_frames: int, left: int, ctx_len: int,
+                  params, log_prior, dfst, dlm, beam, cm, samples, active):
+    """Batched first chunk over [B] streams gated by `active`.
+
+    Inactive streams feed zero samples, decode identity frames
+    (frame_valid=0) and keep their CMVN ring; the caller keeps their ctx.
+    """
+    feats = jax.vmap(lambda s: fbank_from_wave(s, n_frames))(samples)
+    feats, cm = _maybe_cmvn_batch(cmvn, feats, cm, active)
+    window = jnp.concatenate(
+        [jnp.repeat(feats[:, :1], left, axis=1), feats], axis=1)
+    logp = jax.vmap(lambda w: _am_apply(nnet_def, quantized, params,
+                                        log_prior, w))(window)  # [B, F, P]
+    f = logp.shape[1]
+    valid = jnp.broadcast_to(active[None, :], (f, active.shape[0]))
+    beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam,
+                               jnp.transpose(logp, (1, 0, 2)), valid)
+    return window[:, -ctx_len:], beam, trace, cm
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _bfused_steady(nnet_def, cfg: BeamConfig, has_lm: bool, quantized: bool,
+                   cmvn: bool, n_frames: int, params, log_prior, dfst, dlm,
+                   ctx, beam, cm, samples, active):
+    """Batched steady chunk with carried per-stream context windows."""
+    feats = jax.vmap(lambda s: fbank_from_wave(s, n_frames))(samples)
+    feats, cm = _maybe_cmvn_batch(cmvn, feats, cm, active)
+    window = jnp.concatenate([ctx, feats], axis=1)
+    logp = jax.vmap(lambda w: _am_apply(nnet_def, quantized, params,
+                                        log_prior, w))(window)
+    f = logp.shape[1]
+    valid = jnp.broadcast_to(active[None, :], (f, active.shape[0]))
+    beam, trace = decode_chunk(cfg, has_lm, dfst, dlm, beam,
+                               jnp.transpose(logp, (1, 0, 2)), valid)
+    return window[:, -ctx.shape[1]:], beam, trace, cm
+
+
 class StreamingSession:
     """Device-resident streaming decode for one utterance."""
 
@@ -313,3 +366,238 @@ class StreamingSession:
         return best_path(self._host_traces, states, lms, costs, self.fst,
                          self.delta_lm, end_of_stream=end_of_stream,
                          tracker=self._tracker)
+
+
+class BatchStreamingSession:
+    """N concurrent live streams decoded by ONE fused program per step.
+
+    The TPU-native production shape of the reference's streaming design
+    center (src/ce_stt.cc:295-340): per-stream sample buffers on the
+    host, a shared [B]-batched fbank+AM+decode chunk step on device, and
+    per-stream partial hypotheses via per-stream incremental trackers.
+    Streams may receive audio at different rates: each drain round steps
+    exactly the streams that have a full chunk buffered (others decode
+    identity frames under frame_valid=0 and keep their AM context and
+    CMVN ring), so one slow stream never stalls the batch.
+
+    Semantics per stream are identical to StreamingSession (equivalence
+    tested in tests/test_streaming.py); end_of_stream flushes a stream's
+    tail through the exact host AM path with only that stream valid.
+    """
+
+    def __init__(self, am: AcousticModel, fst: FlatFst,
+                 delta_lm: Optional[DeltaLmFst], cfg: BeamConfig,
+                 dfst: DeviceFst, dlm: Optional[DeviceLm],
+                 n_streams: int, chunk_frames: int = 20,
+                 cmvn_stats: Optional[np.ndarray] = None):
+        self.am = am
+        self.fst = fst
+        self.delta_lm = delta_lm
+        self.cfg = cfg
+        self.dfst = dfst
+        self.dlm = dlm
+        self.has_lm = dlm is not None
+        self.b = n_streams
+        self.f = chunk_frames
+        self.l = am.left_context
+        self.r = am.right_context
+        self.cmvn = cmvn_stats is not None
+        if self.cmvn:
+            stats = np.asarray(cmvn_stats, np.float64)
+            self._cm = (jnp.asarray(stats[:FEAT_DIM], jnp.float32),
+                        jnp.float32(stats[FEAT_DIM]),
+                        jnp.zeros((n_streams, CMVN_WINDOW, FEAT_DIM),
+                                  jnp.float32),
+                        jnp.zeros((n_streams,), jnp.int32))
+        else:
+            self._cm = (jnp.zeros((FEAT_DIM,), jnp.float32),
+                        jnp.float32(1.0),
+                        jnp.zeros((n_streams, 1, FEAT_DIM), jnp.float32),
+                        jnp.zeros((n_streams,), jnp.int32))
+        self._samples = [np.zeros(0, np.float32) for _ in range(n_streams)]
+        self._consumed = [0] * n_streams  # feats consumed by fused steps
+        self._started = [False] * n_streams
+        self._flushed = [False] * n_streams
+        self._ctx = jnp.zeros((n_streams, self.l + self.r, FEAT_DIM),
+                              jnp.float32)
+        beam, init_trace = init_beam_batch(cfg, self.has_lm, n_streams,
+                                           dfst, dlm)
+        self.beam = beam
+        self._host_traces: List[List[HostTrace]] = [
+            [HostTrace(np.asarray(init_trace.prev_slot[u]),
+                       np.asarray(init_trace.words[u]))]
+            for u in range(n_streams)
+        ]
+        self._dev_traces = []  # (stacked [F, B, ...] traces, n_valid)
+        self.num_frames_decoded = [0] * n_streams
+        self._trackers = [IncrementalBacktracker()
+                          for _ in range(n_streams)]
+
+    # -- internals ---------------------------------------------------------
+
+    def _avail(self, u: int) -> int:
+        return num_frames(self._samples[u].shape[0])
+
+    def _need(self, u: int) -> int:
+        return self.f + (self.r if not self._started[u] else 0)
+
+    def _ready(self, u: int) -> bool:
+        return (not self._flushed[u]
+                and self._avail(u) >= self._consumed[u] + self._need(u))
+
+    def _window_samples(self, u: int, n_frames: int) -> np.ndarray:
+        start = self._consumed[u] * FRAME_SHIFT
+        end = start + FRAME_LENGTH + FRAME_SHIFT * (n_frames - 1)
+        return self._samples[u][start:end]
+
+    def _step_group(self, group: List[int], first: bool) -> None:
+        n_frames = self.f + (self.r if first else 0)
+        s_len = FRAME_LENGTH + FRAME_SHIFT * (n_frames - 1)
+        samples = np.zeros((self.b, s_len), np.float32)
+        active = np.zeros(self.b, bool)
+        for u in group:
+            samples[u] = self._window_samples(u, n_frames)
+            active[u] = True
+        act = jnp.asarray(active)
+        if first:
+            ctx_new, beam, trace, cm = _bfused_first(
+                self.am.nnet_def, self.cfg, self.has_lm, self.am.quantized,
+                self.cmvn, n_frames, self.l, self.l + self.r,
+                self.am.params, self.am.log_prior, self.dfst, self.dlm,
+                self.beam, self._cm, jnp.asarray(samples), act)
+        else:
+            ctx_new, beam, trace, cm = _bfused_steady(
+                self.am.nnet_def, self.cfg, self.has_lm, self.am.quantized,
+                self.cmvn, n_frames, self.am.params, self.am.log_prior,
+                self.dfst, self.dlm, self._ctx, self.beam, self._cm,
+                jnp.asarray(samples), act)
+        self._ctx = jnp.where(act[:, None, None], ctx_new, self._ctx)
+        self.beam = beam
+        self._cm = cm
+        self._dev_traces.append((trace, self.f))
+        for u in group:
+            self._consumed[u] += n_frames
+            self._started[u] = True
+            self.num_frames_decoded[u] += self.f
+        log.count("frames_decoded", self.f * len(group))
+
+    def _drain(self) -> None:
+        while True:
+            firsts = [u for u in range(self.b)
+                      if self._ready(u) and not self._started[u]]
+            if firsts:
+                self._step_group(firsts, first=True)
+            steadies = [u for u in range(self.b)
+                        if self._ready(u) and self._started[u]]
+            if steadies:
+                self._step_group(steadies, first=False)
+            if not firsts and not steadies:
+                return
+
+    def process(self, u: int, samples: np.ndarray) -> None:
+        """Feed float samples to stream u; steps every ready stream."""
+        if self._flushed[u]:
+            return
+        if samples.size:
+            self._samples[u] = np.concatenate(
+                [self._samples[u], samples.astype(np.float32)])
+        self._drain()
+
+    def _host_cmvn_tail(self, u: int, feats: np.ndarray) -> np.ndarray:
+        gsum = np.asarray(self._cm[0], np.float64)
+        gcount = float(self._cm[1])
+        ring = np.asarray(self._cm[2][u], np.float64)
+        count = int(self._cm[3][u])
+        out = np.empty(feats.shape, np.float32)
+        base = ring.sum(axis=0)
+        for i, row in enumerate(feats.astype(np.float64)):
+            j = (count + i) % CMVN_WINDOW
+            base = base - ring[j] + row
+            ring[j] = row
+            c = min(count + i + 1, CMVN_WINDOW)
+            fg = min(CMVN_WINDOW - c, CMVN_GLOBAL_FRAMES)
+            scalar = fg / gcount
+            mean = (base + scalar * gsum) / (c + scalar * gcount)
+            out[i] = row - mean
+        return out
+
+    def end_of_stream(self, u: int) -> None:
+        """Flush stream u's tail through the exact host AM path."""
+        if self._flushed[u]:
+            return
+        self._drain()
+        self._flushed[u] = True
+        total = self._avail(u)
+        t_extra = total - self._consumed[u]
+        if not self._started[u]:
+            if total == 0:
+                return
+            feats = np.asarray(fbank_from_wave(
+                jnp.asarray(self._samples[u]), total))
+            if self.cmvn:
+                feats = self._host_cmvn_tail(u, feats)
+            logp = self.am.forward(feats)
+        else:
+            ctx = np.asarray(self._ctx[u])
+            if t_extra > 0:
+                start = self._consumed[u] * FRAME_SHIFT
+                feats_extra = np.asarray(fbank_from_wave(
+                    jnp.asarray(self._samples[u][start:]), t_extra))
+                if self.cmvn:
+                    feats_extra = self._host_cmvn_tail(u, feats_extra)
+                window = np.concatenate([ctx, feats_extra])
+            else:
+                window = ctx
+            window = np.concatenate(
+                [window, np.repeat(window[-1:], self.r, axis=0)])
+            logp = np.asarray(_am_only(self.am.nnet_def, self.am.quantized,
+                                       self.am.params, self.am.log_prior,
+                                       jnp.asarray(window, jnp.float32)))
+        self._decode_host(u, np.asarray(logp))
+
+    def _decode_host(self, u: int, logp: np.ndarray) -> None:
+        if logp.shape[0] == 0:
+            return
+        f = self.f
+        n = logp.shape[0]
+        n_pad = -(-n // f) * f
+        lp = np.zeros((n_pad, self.b, logp.shape[1]), np.float32)
+        lp[:n, u] = logp
+        valid = np.zeros((n_pad, self.b), bool)
+        valid[:n, u] = True
+        for off in range(0, n_pad, f):
+            self.beam, trace = decode_chunk(
+                self.cfg, self.has_lm, self.dfst, self.dlm, self.beam,
+                jnp.asarray(lp[off:off + f]),
+                jnp.asarray(valid[off:off + f]))
+            n_valid = int(valid[off:off + f, u].sum())
+            self._dev_traces.append((trace, f))
+            self.num_frames_decoded[u] += n_valid
+            log.count("frames_decoded", n_valid)
+
+    def _materialize(self) -> None:
+        for trace, n_valid in self._dev_traces:
+            prev = np.asarray(trace.prev_slot)  # [F, B, K]
+            words = np.asarray(trace.words)
+            for u in range(self.b):
+                self._host_traces[u].extend(
+                    HostTrace(prev[i, u], words[i, u])
+                    for i in range(n_valid))
+        self._dev_traces = []
+
+    def overflowed(self, u: int) -> bool:
+        return bool(np.asarray(self.beam.overflow)[u])
+
+    def best_path(self, u: int, end_of_stream: bool) -> Hypothesis:
+        if self.overflowed(u):
+            from catears_tpu.utils.errors import BeamCapacityError
+            raise BeamCapacityError(
+                f"arc expansion overflowed capacity for stream {u} "
+                f"(expand_size={self.cfg.expand_size})")
+        self._materialize()
+        states = np.asarray(self.beam.states[u])
+        lms = np.asarray(self.beam.lm[u])
+        costs = np.asarray(self.beam.costs[u])
+        return best_path(self._host_traces[u], states, lms, costs, self.fst,
+                         self.delta_lm, end_of_stream=end_of_stream,
+                         tracker=self._trackers[u])
