@@ -76,6 +76,18 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         # margin; the warmup asserts no overflow and reports the marks,
         # so resizing after a graph change is mechanical.
         group, beam, expand, eps_expand = 2, 2048, 32768, 1024
+        # BENCH_REORDER: decode-locality state renumbering experiments
+        # (graph.transform) — exact relabeling, same transcripts.
+        reorder = os.environ.get("BENCH_REORDER", "")
+        if reorder == "bfs":
+            from catears_tpu.graph.transform import (bfs_order,
+                                                     renumber_states)
+            t0 = time.time()
+            fst = renumber_states(fst, bfs_order(fst))
+            print(f"# reorder=bfs in {time.time() - t0:.0f}s",
+                  file=sys.stderr)
+        elif reorder == "freq":
+            fst = _freq_reorder(fst, tid2pdf, planted)
     else:
         num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
         num_words = int(os.environ.get("BENCH_WORDS", 2000))
@@ -131,6 +143,52 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     )
     wave = (rng.randn(batch, samples) * 1000).astype(np.float32)
     return am, fst, dfst, dlm, cfg, jnp.asarray(wave), planted, true_words
+
+
+def _freq_reorder(fst, tid2pdf, planted):
+    """Visit-frequency renumbering from a short calibration decode.
+
+    Decodes a few planted utterances on the ORIGINAL layout, sampling
+    the beam's states every chunk, then renumbers hottest-first
+    (tie-break BFS) — the deployment recipe would calibrate on
+    representative audio the same way.  Pays a second graph build; an
+    experiment knob, not a default.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from catears_tpu.decode.beam import (BeamConfig, decode_chunk,
+                                         init_beam_batch)
+    from catears_tpu.graph.device import DeviceFst
+    from catears_tpu.graph.transform import (bfs_order, frequency_order,
+                                             prepare_decode_graph,
+                                             renumber_states)
+
+    t0 = _time.time()
+    dec_fst, olab2, mode = prepare_decode_graph(fst)
+    dfst = DeviceFst.build(dec_fst, tid2pdf, group=2, csr_group=16,
+                           eps_depth_cap=1 if mode != "raw" else None,
+                           olabel2=olab2)
+    cfg = BeamConfig(beam_size=2048, expand_size=32768,
+                     eps_expand_size=1024, max_eps_iters=3)
+    b = min(4, planted.shape[0])
+    frames = min(300, planted.shape[1])
+    lp = jnp.asarray(np.transpose(planted[:b, :frames], (1, 0, 2)))
+    beam, _ = init_beam_batch(cfg, False, b, dfst, None)
+    counts = np.zeros(fst.num_states, np.int64)
+    chunk = 20
+    for off in range(0, frames, chunk):
+        beam, _tr = decode_chunk(cfg, False, dfst, None, beam,
+                                 lp[off:off + chunk],
+                                 jnp.ones((chunk, b), bool))
+        s = np.asarray(beam.states).ravel()
+        counts += np.bincount(s[s >= 0], minlength=fst.num_states)
+    perm = frequency_order(counts, tie_break=bfs_order(fst))
+    hot = int((counts > 0).sum())
+    print(f"# reorder=freq: {hot} states visited in calibration "
+          f"({_time.time() - t0:.0f}s)", file=sys.stderr)
+    return renumber_states(fst, perm)
 
 
 def main():

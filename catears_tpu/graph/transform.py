@@ -205,6 +205,78 @@ def remove_epsilons(fst: FlatFst, growth_limit: float = 1.0
     return out, all_o2[sort_order].astype(np.int32), True
 
 
+def bfs_order(fst: FlatFst) -> np.ndarray:
+    """Breadth-first state order from the start state.
+
+    Returns perm int32 [S] with perm[old_id] = new_id; unreachable states
+    keep their relative order after the reachable ones.  BFS puts states
+    that co-occur in a decode frontier (shared trie prefixes, HMM chains
+    near the same depth) at nearby row ids — a decode-locality layout for
+    the emit_block gathers (the >8 MB gather penalty is the repo's own
+    measured cost model, graph/device.py cost notes).
+    """
+    n = fst.num_states
+    state_of_arc = np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(fst.offsets))
+    order = np.full(n, -1, np.int64)
+    seen = np.zeros(n, bool)
+    frontier = np.array([fst.start], np.int64)
+    seen[fst.start] = True
+    nxt = 0
+    while frontier.size:
+        order[frontier] = np.arange(nxt, nxt + frontier.size)
+        nxt += frontier.size
+        # All successors of the frontier, deduped, unseen first-come
+        lo = fst.offsets[frontier]
+        hi = fst.offsets[frontier + 1]
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+            if frontier.size else np.zeros(0, np.int64)
+        succ = np.unique(fst.arc_next[idx].astype(np.int64))
+        succ = succ[~seen[succ]]
+        seen[succ] = True
+        frontier = succ
+    rest = np.flatnonzero(order < 0)
+    order[rest] = np.arange(nxt, nxt + rest.size)
+    return order.astype(np.int32)
+
+
+def frequency_order(counts: np.ndarray, tie_break: np.ndarray = None
+                    ) -> np.ndarray:
+    """Visit-frequency state order: hottest states get the lowest ids.
+
+    counts [S]: per-state visit counts from a calibration decode (e.g.
+    bincount of sampled beam states).  tie_break (default BFS-ish id
+    order) keeps zero-count states in a stable structural order.
+    """
+    n = counts.shape[0]
+    tb = tie_break if tie_break is not None else np.arange(n)
+    rank = np.lexsort((tb, -counts.astype(np.int64)))
+    perm = np.empty(n, np.int32)
+    perm[rank] = np.arange(n, dtype=np.int32)
+    return perm
+
+
+def renumber_states(fst: FlatFst, perm: np.ndarray) -> FlatFst:
+    """Apply a state permutation (perm[old] = new); exact relabeling.
+
+    Word output labels are untouched, so transcripts are identical; only
+    the row layout of the device tables (and the state ids in beam sort
+    keys) changes.
+    """
+    n = fst.num_states
+    state_of_arc = np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(fst.offsets))
+    final = np.empty_like(fst.final)
+    final[perm] = fst.final
+    return FlatFst.from_arrays(
+        start=int(perm[fst.start]), final=final,
+        state_of_arc=perm[state_of_arc].astype(np.int64),
+        arc_next=perm[fst.arc_next],
+        arc_ilabel=fst.arc_ilabel,
+        arc_olabel=fst.arc_olabel,
+        arc_weight=fst.arc_weight)
+
+
 def prepare_decode_graph(fst: FlatFst) -> Tuple[
         FlatFst, Optional[np.ndarray], str]:
     """One decision point for the decode-graph transform pipeline.

@@ -58,21 +58,26 @@ def shard_am_params(am: AcousticModel, mesh: Mesh):
     """
     sharded = []
     for layer, p in zip(am.nnet_def, am.params):
+        # np.asarray first: device_put of a single-device jnp array into a
+        # global sharding is rejected in multi-process runs; the host
+        # value is identical on every process, so placing local shards
+        # from it is always legal.
         if layer[0] == "linear":
             sharded.append({
-                "w": jax.device_put(p["w"],
+                "w": jax.device_put(np.asarray(p["w"]),
                                     NamedSharding(mesh, P(None, "model"))),
-                "b": jax.device_put(p["b"], NamedSharding(mesh, P("model"))),
+                "b": jax.device_put(np.asarray(p["b"]),
+                                    NamedSharding(mesh, P("model"))),
             })
         elif layer[0] == "batchnorm":
             sharded.append({
-                "scale": jax.device_put(p["scale"],
+                "scale": jax.device_put(np.asarray(p["scale"]),
                                         NamedSharding(mesh, P("model"))),
-                "offset": jax.device_put(p["offset"],
+                "offset": jax.device_put(np.asarray(p["offset"]),
                                          NamedSharding(mesh, P("model"))),
             })
         else:
-            sharded.append(p)
+            sharded.append(jax.tree.map(np.asarray, p))
     return sharded
 
 
@@ -82,13 +87,20 @@ class ShardedPipeline:
     def __init__(self, am: AcousticModel, dfst: DeviceFst,
                  dlm: Optional[DeviceLm], cfg: BeamConfig, mesh: Mesh):
         self.am = am
-        self.dfst = dfst
-        self.dlm = dlm
         self.cfg = cfg
         self.mesh = mesh
         self.params = shard_am_params(am, mesh)
         self.data_sharding = NamedSharding(mesh, P("data"))
         self.repl = NamedSharding(mesh, P())
+        # Replicate the graph tables and prior EXPLICITLY over the mesh.
+        # In a single process XLA would reshard committed single-device
+        # inputs on the fly; in a multi-process (multi-host) run every
+        # input of a global computation must already be a global array,
+        # so the replication has to be stated (docs/SCALING.md).
+        rep = lambda x: jax.device_put(np.asarray(x), self.repl)  # noqa: E731
+        self.dfst = jax.tree.map(rep, dfst)
+        self.dlm = jax.tree.map(rep, dlm) if dlm is not None else None
+        self.log_prior = rep(am.log_prior)
 
     def am_step(self, wave: jnp.ndarray, n_frames: int) -> jnp.ndarray:
         """[B, S] padded wave -> [B, T, P] log-likelihoods (dp x tp)."""
@@ -101,7 +113,7 @@ class ShardedPipeline:
                 jnp.repeat(feats[-1:], self.am.right_context, axis=0),
             ])
             out = nnet_forward(self.am.nnet_def, self.params, padded)
-            return out - self.am.log_prior
+            return out - self.log_prior
 
         wave = jax.lax.with_sharding_constraint(wave, self.data_sharding)
         logp = jax.vmap(one_utt)(wave)

@@ -181,6 +181,53 @@ class TestCloseEpsilons:
         assert ok and out is fst
 
 
+class TestRenumber:
+    """State renumbering (decode-locality layouts) must be an exact
+    relabeling: identical transcripts and weights on any order."""
+
+    def test_bfs_and_freq_orders_decode_identically(self):
+        from catears_tpu.decode.decoder import decode_batch
+        from catears_tpu.graph.transform import (
+            bfs_order,
+            frequency_order,
+            renumber_states,
+        )
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+
+        rng = np.random.RandomState(3)
+        g = make_trie_graph(rng, num_words=120, num_phones=20,
+                            bigram_states=25, variants=2)
+        logp, words = plant_logp(rng, g, 2, 100)
+        from catears_tpu.decode.beam import BeamConfig
+        cfg = BeamConfig(beam_size=256, expand_size=4096,
+                         eps_expand_size=2048, max_eps_iters=3)
+        want = decode_batch(g.fst, g.tid2pdf, logp, config=cfg,
+                            arc_group=2)
+        perms = [bfs_order(g.fst),
+                 frequency_order(
+                     rng.randint(0, 50, size=g.fst.num_states))]
+        for perm in perms:
+            assert np.array_equal(np.sort(perm),
+                                  np.arange(g.fst.num_states))
+            f2 = renumber_states(g.fst, perm)
+            got = decode_batch(f2, g.tid2pdf, logp, config=cfg,
+                               arc_group=2)
+            for u in range(2):
+                assert got[u].words == want[u].words
+                assert abs(got[u].weight - want[u].weight) < 1e-3
+
+    def test_bfs_order_starts_at_start(self):
+        from catears_tpu.graph.transform import bfs_order
+        from catears_tpu.tools.toy import make_phone_loop_graph
+        from catears_tpu.graph.fst import FlatFst
+
+        rng = np.random.RandomState(0)
+        graph = make_phone_loop_graph(rng, num_words=5, num_pdfs=24)
+        fst = FlatFst.from_raw(graph.fst)
+        perm = bfs_order(fst)
+        assert perm[fst.start] == 0
+
+
 class TestBigLmDevice:
     """ARPA-scale G' stress: device lm_propagate vs the host backoff walk.
 
