@@ -138,10 +138,24 @@ def fit_bigram_arpa(sequences: List[List[str]], vocab: List[str],
             bi[(prev, w)] += 1
             prev = w
         uni[bos] += 1
-    n_tokens = sum(uni.values())
-    v = len(vocab) + 2  # + <s>, </s>
     words = [bos, eos] + [w for w in vocab if w not in (bos, eos)]
-    p_uni = {w: (uni[w] + 1.0) / (n_tokens + v) for w in words}
+    # Unigrams by absolute discounting (NOT add-one: with V >> N add-one
+    # crushes observed words' probabilities, which blows up the
+    # bigram/unigram log-ratios a delta-LM applies as per-word bonuses).
+    # <s> is a history, not an event (ARPA prints it at -99).
+    events = {w: c for w, c in uni.items() if w != bos}
+    n_ev = max(1, sum(events.values()))
+    unseen = [w for w in words if w not in events and w != bos]
+    released = discount * len(events) / n_ev
+    p_floor = released / max(1, len(unseen))
+    p_uni = {}
+    for w in words:
+        if w == bos:
+            p_uni[w] = 1.0  # printed as -99 below
+        elif w in events:
+            p_uni[w] = (events[w] - discount) / n_ev
+        else:
+            p_uni[w] = p_floor
 
     ctx_count = Counter()
     ctx_types = Counter()

@@ -80,6 +80,7 @@ VARIANTS = int(os.environ.get("VARIANTS", 6))
 UTTS_TRAIN = int(os.environ.get("UTTS_TRAIN", 240))
 UTTS_TEST = int(os.environ.get("UTTS_TEST", 20))
 SECONDS = float(os.environ.get("SECONDS", 8.0))
+SNR_NOISE = float(os.environ.get("SNR", 0.12))
 STEPS = int(os.environ.get("STEPS", 3000))
 HIDDEN = int(os.environ.get("HIDDEN", 1024))
 BEAMS = [int(b) for b in os.environ.get("BEAMS", "1024,2048,4096").split(",")]
@@ -128,6 +129,19 @@ def wer_of(hyps, refs):
     return errs / max(1, sum(len(r) for r in refs))
 
 
+def parse_scp_stdout(stdout, n_utts):
+    """Transcript lines from a reference scp run.
+
+    The reference's PK_WARN macro prints to STDOUT (src/util.h:39-43), so
+    warning lines (e.g. DeltaLmFst's '<s>' start note) interleave with
+    `name hyp` lines and must be filtered, not parsed as transcripts.
+    """
+    hyps = [line.split()[1:] for line in stdout.splitlines()
+            if line.startswith("utt")]
+    assert len(hyps) == n_utts, (len(hyps), stdout[:500])
+    return hyps
+
+
 def main():
     rng = np.random.RandomState(0)
     frames = int(SECONDS * 100)
@@ -136,7 +150,8 @@ def main():
                         variants=VARIANTS)
     # markov=True: word sequences carry bigram structure a fitted G' can
     # model — the signal the delta-LM experiment rescoring needs.
-    synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng, markov=True)
+    synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng, markov=True,
+                        snr_noise=SNR_NOISE)
     spec = make_toy_nnet(rng, hidden=HIDDEN, num_pdfs=g.num_pdfs,
                          num_tdnn_layers=5)
     left, right = spec.left_context, spec.right_context
@@ -179,6 +194,7 @@ def main():
             fd.write(f"utt{i} {' '.join(t)}\n")
 
     results = {"dev_frame_acc": round(acc, 4), "words": WORDS,
+               "snr_noise": SNR_NOISE,
                "num_pdfs": g.num_pdfs, "utts": UTTS_TEST,
                "seconds": SECONDS}
 
@@ -206,10 +222,22 @@ def main():
             f"{gfst.num_arcs} arcs")
         with open(os.path.join(OUT, "lm.fst"), "wb") as fd:
             write_pkfst(fd, gfst.to_raw())
-        costs = read_unigram_costs(arpa_path)
-        costs["<s>"] = 0.0
+        # original_lm MUST be the unigram G embedded in the HCLG (the
+        # trie's word-end arcs carry g.unigram_cost), so the delta
+        # cleanly substitutes bigram-for-unigram: total becomes
+        # acoustics + HMM weights + G' — the reference's mkgraph recipe
+        # (tool/mkgraph_hcl.sh:33-56 builds G from the PRUNED version of
+        # the same LM and original_lm from that unigram section).  Using
+        # any other vector leaves net-negative per-word deltas that turn
+        # rescoring into an insertion storm (measured: WER 0.14/0.96 in
+        # the first round-5 run with an add-one ARPA unigram here).
+        uni_vec = np.zeros(WORDS + 3, np.float32)
+        uni_vec[1:WORDS + 1] = g.unigram_cost[1:]
+        uni_vec[WORDS + 1] = 0.0  # <s> := 0 (convert_unigram convention)
+        eos_costs = read_unigram_costs(arpa_path)
+        uni_vec[WORDS + 2] = -eos_costs["</s>"] * np.log(10.0)
         with open(os.path.join(OUT, "lm.uni"), "wb") as fd:
-            write_vec0(fd, build_cost_vector(costs, vocab_map))
+            write_vec0(fd, uni_vec)
         for base, name in ((our_conf, "ours_lm.conf"),
                            (ref_conf, "ref_lm.conf")):
             with open(base) as fd:
@@ -242,20 +270,23 @@ def main():
         log(f"ours beam={beam}: WER {w:.4f} ({dt:.0f}s)")
         results[f"ours_wer_beam{beam}"] = round(w, 4)
 
-    # --- ours: LM-on at the production beam ------------------------------
+    # --- ours: LM-on ------------------------------------------------------
     our_lm_hyps = None
     if ours_lm_conf is not None:
-        cfg = BeamConfig(beam_size=2048, expand_size=32768,
-                         eps_expand_size=8192, max_eps_iters=3)
-        rec = Recognizer(ours_lm_conf, beam_config=cfg)
-        assert rec.delta_lm is not None
-        t0 = time.time()
-        hyps = decode_scp(rec, scp, batch_size=min(UTTS_TEST, 10))
-        dt = time.time() - t0
-        our_lm_hyps = [h.split() for _, h in hyps]
-        w = wer_of(our_lm_hyps, truths)
-        log(f"ours beam=2048 LM-ON: WER {w:.4f} ({dt:.0f}s)")
-        results["ours_wer_lm_beam2048"] = round(w, 4)
+        for beam in (2048, 4096):
+            cfg = BeamConfig(beam_size=beam, expand_size=32768,
+                             eps_expand_size=8192, max_eps_iters=3)
+            rec = Recognizer(ours_lm_conf, beam_config=cfg)
+            assert rec.delta_lm is not None
+            t0 = time.time()
+            hyps = decode_scp(rec, scp, batch_size=min(UTTS_TEST, 10))
+            dt = time.time() - t0
+            hyp_words = [h.split() for _, h in hyps]
+            if beam == 2048:
+                our_lm_hyps = hyp_words
+            w = wer_of(hyp_words, truths)
+            log(f"ours beam={beam} LM-ON: WER {w:.4f} ({dt:.0f}s)")
+            results[f"ours_wer_lm_beam{beam}"] = round(w, 4)
 
     # --- reference binary at its 30k budget ------------------------------
     # Two reference builds: STOCK (as shipped — at this scale it hits a
@@ -292,10 +323,7 @@ def main():
                                  timeout=7200)
         dt = time.time() - t0
         assert ref_out.returncode == 0, ref_out.stderr[-2000:]
-        ref_hyps = []
-        for line in ref_out.stdout.splitlines():
-            parts = line.split()
-            ref_hyps.append(parts[1:])
+        ref_hyps = parse_scp_stdout(ref_out.stdout, UTTS_TEST)
         w = wer_of(ref_hyps, truths)
         log(f"reference GC-FIXED (30k budget): WER {w:.4f} ({dt:.0f}s)")
         results["ref_wer_30k"] = round(w, 4)
@@ -322,8 +350,7 @@ def main():
                                         timeout=7200)
             dt = time.time() - t0
             assert ref_lm_out.returncode == 0, ref_lm_out.stderr[-2000:]
-            ref_lm_hyps = [line.split()[1:]
-                           for line in ref_lm_out.stdout.splitlines()]
+            ref_lm_hyps = parse_scp_stdout(ref_lm_out.stdout, UTTS_TEST)
             w = wer_of(ref_lm_hyps, truths)
             log(f"reference GC-FIXED LM-ON (30k budget): WER {w:.4f} "
                 f"({dt:.0f}s)")
@@ -361,8 +388,7 @@ def main():
                                       capture_output=True, text=True,
                                       timeout=7200)
             assert ref_deep.returncode == 0, ref_deep.stderr[-2000:]
-            ref_deep_hyps = [line.split()[1:]
-                             for line in ref_deep.stdout.splitlines()]
+            ref_deep_hyps = parse_scp_stdout(ref_deep.stdout, len(mism))
             cfg = BeamConfig(beam_size=32768, expand_size=131072,
                              eps_expand_size=16384, max_eps_iters=3)
             rec = Recognizer(our_conf, beam_config=cfg)
@@ -371,10 +397,20 @@ def main():
                                     batch_size=len(mism))]
             deep_agree = sum(1 for a, b in zip(ours_deep, ref_deep_hyps)
                              if a == b)
+            ref_empty = sum(1 for h in ref_deep_hyps if not h)
             log(f"deep parity (ours beam 32768 vs reference kBeamSize 3M):"
                 f" {deep_agree}/{len(mism)} of the mismatched utterances "
                 f"now identical ({time.time() - t0:.0f}s)")
             results["deep_parity"] = f"{deep_agree}/{len(mism)}"
+            if ref_empty:
+                # An empty reference transcript = its search ended with NO
+                # final-reachable token (BestPath best_idx == kNotExist,
+                # src/decoder.cc:412) — a reference search failure, not an
+                # engine divergence; see BASELINE.md utt-level analysis.
+                results["deep_ref_empty"] = ref_empty
+                log(f"  NOTE: {ref_empty} of the remaining diffs are the "
+                    f"reference returning an EMPTY transcript (no "
+                    f"final-state token at any budget)")
             if deep_agree < len(mism):
                 for j, i in enumerate(mism):
                     if ours_deep[j] != ref_deep_hyps[j]:
