@@ -118,14 +118,30 @@ def read_vocab(path: str) -> Dict[str, int]:
 
 def fit_bigram_arpa(sequences: List[List[str]], vocab: List[str],
                     bos: str = "<s>", eos: str = "</s>",
-                    discount: float = 0.4) -> List[str]:
+                    discount: float = 0.4,
+                    interpolate: float = 0.0,
+                    sharpness: float = 1.0) -> List[str]:
     """Fit an absolute-discounting backoff bigram on word sequences.
 
     Returns ARPA lines (the format tool/mkgraph_hcl.sh feeds arpa2fst,
     reference tool/mkgraph_hcl.sh:53-55).  Unigrams cover the WHOLE
-    `vocab` (add-one smoothed) so every HCLG output label has a finite
-    unigram cost for the subtraction vector; bigrams are the observed
-    ones with absolute discounting, mass released to the backoff.
+    `vocab` so every HCLG output label has a finite unigram cost for the
+    subtraction vector; bigrams are the observed ones with absolute
+    discounting, mass released to the backoff.
+
+    interpolate = lambda in (0, 1] mixes every observed bigram toward
+    the unigram (Jelinek-Mercer): p(w|h) = l*p_bi + (1-l)*p_uni, with
+    the backoff renormalized so each history still sums to 1.  Bounds
+    the ADDITIVE part of the bigram/unigram ratio but not the ratio for
+    rare words.  0 = pure discounted bigram.
+
+    sharpness = s in (0, 1] geometrically flattens each observed bigram
+    toward the unigram: p(w|h) proportional to p_uni(w) *
+    (p_bi(w|h)/p_uni(w))^s.  This scales the LOG-ratio — exactly the
+    per-word delta an on-the-fly rescoring decoder adds — by s, the
+    estimation-side analogue of Kaldi's LM-scale sweep (the reference's
+    delta-LM applies G' at fixed weight 1.0 against am_scale-0.1
+    acoustics and has no balancing knob, src/ce_stt.cc:263).
     """
     from collections import Counter
 
@@ -157,6 +173,7 @@ def fit_bigram_arpa(sequences: List[List[str]], vocab: List[str],
         else:
             p_uni[w] = p_floor
 
+    lam = interpolate
     ctx_count = Counter()
     ctx_types = Counter()
     ctx_seen_uni = Counter()  # unigram mass of words seen after h
@@ -164,22 +181,44 @@ def fit_bigram_arpa(sequences: List[List[str]], vocab: List[str],
         ctx_count[h] += c
         ctx_types[h] += 1
         ctx_seen_uni[h] += p_uni[w]
+
+    # Sharpness flattening with mass preservation: the raw q =
+    # p_uni * (p_bi/p_uni)^s can sum past the history's discounted seen
+    # mass (blowing the backoff weight up to a prohibitive penalty for
+    # every unseen continuation), so the flattened bigrams are
+    # renormalized to carry exactly the mass the discounting left them.
+    qs_sum = Counter()
+    seen_mass = Counter()
+    if sharpness != 1.0:
+        for (h, w), c in bi.items():
+            disc = (c - discount) / ctx_count[h]
+            qs_sum[h] += p_uni[w] * (disc / p_uni[w]) ** sharpness
+            seen_mass[h] += disc
+
+    def p_bigram(h, w, c):
+        disc = (c - discount) / ctx_count[h]
+        if sharpness != 1.0:
+            q = p_uni[w] * (disc / p_uni[w]) ** sharpness
+            disc = seen_mass[h] * q / qs_sum[h]
+        return lam * disc + (1.0 - lam) * p_uni[w] if lam else disc
+
+    ctx_seen_bi = Counter()
+    for (h, w), c in bi.items():
+        ctx_seen_bi[h] += p_bigram(h, w, c)
     lines = ["\\data\\", f"ngram 1={len(words)}", f"ngram 2={len(bi)}", "",
              "\\1-grams:"]
     for w in words:
         p = math.log10(p_uni[w]) if w != bos else -99.0
         backoff = 0.0
         if ctx_count[w]:
-            # Katz-style normalization: released bigram mass over the
-            # unigram mass of the unseen continuations.
-            released = discount * ctx_types[w] / ctx_count[w]
+            # Normalize: released mass of this history over the unigram
+            # mass of its unseen continuations.
             unseen = max(1.0 - ctx_seen_uni[w], 1e-6)
-            backoff = math.log10(released / unseen)
+            backoff = math.log10(max(1.0 - ctx_seen_bi[w], 1e-9) / unseen)
         lines.append(f"{p:.6f}\t{w}\t{backoff:.6f}")
     lines += ["", "\\2-grams:"]
     for (h, w), c in sorted(bi.items()):
-        p = (c - discount) / ctx_count[h]
-        lines.append(f"{math.log10(p):.6f}\t{h} {w}")
+        lines.append(f"{math.log10(p_bigram(h, w, c)):.6f}\t{h} {w}")
     lines += ["", "\\end\\"]
     return lines
 

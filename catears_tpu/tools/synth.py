@@ -77,11 +77,12 @@ class Synthesizer:
 
     def __init__(self, graph: TrieGraph, num_phones: int, variants: int,
                  rng: np.random.RandomState, snr_noise: float = 0.12,
-                 markov: bool = False):
+                 markov: bool = False, markov_p: float = 0.75):
         self.graph = graph
         self.freqs, self.amps = _pdf_signature(graph.num_pdfs, num_phones,
                                                variants, rng)
         self.snr_noise = snr_noise
+        self.markov_p = markov_p
         self.successors = None
         if markov:
             # 3 likely successors per word, themselves pareto-biased so
@@ -93,7 +94,8 @@ class Synthesizer:
 
     def _next_word(self, rng: np.random.RandomState, prev: int) -> int:
         g = self.graph
-        if self.successors is not None and prev > 0 and rng.rand() < 0.75:
+        if self.successors is not None and prev > 0 \
+                and rng.rand() < self.markov_p:
             return int(self.successors[prev, rng.randint(3)])
         return 1 + min(int(rng.pareto(0.8) * 3), g.num_words - 1)
 

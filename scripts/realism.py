@@ -81,6 +81,8 @@ UTTS_TRAIN = int(os.environ.get("UTTS_TRAIN", 240))
 UTTS_TEST = int(os.environ.get("UTTS_TEST", 20))
 SECONDS = float(os.environ.get("SECONDS", 8.0))
 SNR_NOISE = float(os.environ.get("SNR", 0.12))
+LM_INTERP = float(os.environ.get("LM_INTERP", 0.0))
+MARKOV_P = float(os.environ.get("MARKOV_P", 0.75))
 STEPS = int(os.environ.get("STEPS", 3000))
 HIDDEN = int(os.environ.get("HIDDEN", 1024))
 BEAMS = [int(b) for b in os.environ.get("BEAMS", "1024,2048,4096").split(",")]
@@ -151,7 +153,7 @@ def main():
     # markov=True: word sequences carry bigram structure a fitted G' can
     # model — the signal the delta-LM experiment rescoring needs.
     synth = Synthesizer(g, NUM_PHONES, VARIANTS, rng, markov=True,
-                        snr_noise=SNR_NOISE)
+                        snr_noise=SNR_NOISE, markov_p=MARKOV_P)
     spec = make_toy_nnet(rng, hidden=HIDDEN, num_pdfs=g.num_pdfs,
                          num_tdnn_layers=5)
     left, right = spec.left_context, spec.right_context
@@ -194,7 +196,8 @@ def main():
             fd.write(f"utt{i} {' '.join(t)}\n")
 
     results = {"dev_frame_acc": round(acc, 4), "words": WORDS,
-               "snr_noise": SNR_NOISE,
+               "snr_noise": SNR_NOISE, "lm_interpolate": LM_INTERP,
+               "markov_p": MARKOV_P,
                "num_pdfs": g.num_pdfs, "utts": UTTS_TEST,
                "seconds": SECONDS}
 
@@ -211,9 +214,13 @@ def main():
 
         vocab_list = [f"word{i}" for i in range(1, WORDS + 1)]
         corpus = [[f"word{w}" for w in ws] for ws in train_words]
+        with open(os.path.join(OUT, "corpus.txt"), "w") as fd:
+            for ws in train_words:
+                fd.write(" ".join(str(w) for w in ws) + "\n")
         arpa_path = os.path.join(OUT, "corpus.arpa")
         with open(arpa_path, "w") as fd:
-            fd.write("\n".join(fit_bigram_arpa(corpus, vocab_list)) + "\n")
+            fd.write("\n".join(fit_bigram_arpa(
+                corpus, vocab_list, interpolate=LM_INTERP)) + "\n")
         vocab_map = {w: i for i, w in enumerate(vocab_list, start=1)}
         vocab_map["<s>"] = WORDS + 1
         vocab_map["</s>"] = WORDS + 2
