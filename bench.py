@@ -58,6 +58,7 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     hidden = int(os.environ.get("BENCH_HIDDEN", 1024))
     samples = int(seconds * 16000)
     planted = true_words = None
+    hot_rows = 0
     if kind == "trie":
         from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
         num_words = int(os.environ.get("BENCH_WORDS", 50000))
@@ -78,7 +79,12 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         group, beam, expand, eps_expand = 2, 2048, 32768, 1024
         # BENCH_REORDER: decode-locality state renumbering experiments
         # (graph.transform) — exact relabeling, same transcripts.
+        # BENCH_REORDER=hot additionally splits the emit table: hot
+        # states by calibrated visit frequency go to a small table
+        # (BENCH_HOT_ROWS, default 12 MB worth) served at the measured
+        # fast gather rate; cold lanes compact to BENCH_COLD slots.
         reorder = os.environ.get("BENCH_REORDER", "")
+        hot_rows = 0
         if reorder == "bfs":
             from catears_tpu.graph.transform import (bfs_order,
                                                      renumber_states)
@@ -87,7 +93,18 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
             print(f"# reorder=bfs in {time.time() - t0:.0f}s",
                   file=sys.stderr)
         elif reorder == "freq":
-            fst = _freq_reorder(fst, tid2pdf, planted)
+            counts = _calibrate_counts(fst, tid2pdf, planted)
+            from catears_tpu.graph.transform import (bfs_order,
+                                                     frequency_order,
+                                                     renumber_states)
+            fst = renumber_states(
+                fst, frequency_order(counts, tie_break=bfs_order(fst)))
+        elif reorder == "hot":
+            from catears_tpu.graph.transform import (hot_order,
+                                                     renumber_states)
+            hot_rows = int(os.environ.get("BENCH_HOT_ROWS", 175_000))
+            counts = _calibrate_counts(fst, tid2pdf, planted)
+            fst = renumber_states(fst, hot_order(counts, hot_rows))
     else:
         num_pdfs = int(os.environ.get("BENCH_PDFS", 4096))
         num_words = int(os.environ.get("BENCH_WORDS", 2000))
@@ -118,7 +135,8 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
                            csr_group=int(os.environ.get("BENCH_CSR_GROUP",
                                                         csr_default)) or None,
                            eps_depth_cap=1 if mode != "raw" else None,
-                           olabel2=olab2)
+                           olabel2=olab2,
+                           hot_rows=(hot_rows if kind == "trie" else 0))
     dlm = None
     if os.environ.get("BENCH_LM") == "1":
         from catears_tpu.graph.device import DeviceLm
@@ -138,6 +156,10 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
         # hiwater slot 3, which reports survivor demand even when
         # compaction is off.
         select_compact=int(os.environ.get("BENCH_SELECT_COMPACT", 0)),
+        # Cold-lane compaction capacity for the hot/cold emit split
+        # (active only with BENCH_REORDER=hot); size from hiwater slot 4.
+        cold_expand_size=int(os.environ.get(
+            "BENCH_COLD", 1024 if (kind == "trie" and hot_rows) else 0)),
         max_eps_iters=3,
         beam=16.0,
     )
@@ -145,14 +167,13 @@ def build_bench_setup(batch: int, seconds: float, seed: int = 0):
     return am, fst, dfst, dlm, cfg, jnp.asarray(wave), planted, true_words
 
 
-def _freq_reorder(fst, tid2pdf, planted):
-    """Visit-frequency renumbering from a short calibration decode.
+def _calibrate_counts(fst, tid2pdf, planted):
+    """Per-state beam-visit counts from a short calibration decode.
 
     Decodes a few planted utterances on the ORIGINAL layout, sampling
-    the beam's states every chunk, then renumbers hottest-first
-    (tie-break BFS) — the deployment recipe would calibrate on
-    representative audio the same way.  Pays a second graph build; an
-    experiment knob, not a default.
+    the beam's states every chunk — the deployment recipe would
+    calibrate on representative audio the same way.  Pays a second
+    graph build; feeds the freq/hot renumbering experiment knobs.
     """
     import time as _time
 
@@ -161,9 +182,7 @@ def _freq_reorder(fst, tid2pdf, planted):
     from catears_tpu.decode.beam import (BeamConfig, decode_chunk,
                                          init_beam_batch)
     from catears_tpu.graph.device import DeviceFst
-    from catears_tpu.graph.transform import (bfs_order, frequency_order,
-                                             prepare_decode_graph,
-                                             renumber_states)
+    from catears_tpu.graph.transform import prepare_decode_graph
 
     t0 = _time.time()
     dec_fst, olab2, mode = prepare_decode_graph(fst)
@@ -184,11 +203,9 @@ def _freq_reorder(fst, tid2pdf, planted):
                                  jnp.ones((chunk, b), bool))
         s = np.asarray(beam.states).ravel()
         counts += np.bincount(s[s >= 0], minlength=fst.num_states)
-    perm = frequency_order(counts, tie_break=bfs_order(fst))
-    hot = int((counts > 0).sum())
-    print(f"# reorder=freq: {hot} states visited in calibration "
+    print(f"# calibration: {int((counts > 0).sum())} states visited "
           f"({_time.time() - t0:.0f}s)", file=sys.stderr)
-    return renumber_states(fst, perm)
+    return counts
 
 
 def main():

@@ -80,6 +80,14 @@ class BeamConfig:
     # round-4 notes).  Kept only to reproduce those measurements;
     # autosize never sets it.
     select_compact: int = 0
+    # Hot/cold emit-table split (requires DeviceFst.hot_rows > 0): cold
+    # tokens (state >= hot_rows) are compacted into this many lanes
+    # before gathering the big emit table; hot tokens gather the small
+    # emit_hot table.  Exact; truncation (more cold tokens than lanes)
+    # is detected on device (overflow flag + hiwater slot 4).  Size from
+    # the cold high-water mark like the CSR capacities.  0 = single
+    # full-table gather.
+    cold_expand_size: int = 0
     max_eps_iters: int = 6  # closure fixpoint bound
     beam: float = 16.0  # beam width (reference src/decoder.cc:56)
     am_scale: float = 0.1  # acoustic scale (reference src/ce_stt.cc:263)
@@ -116,13 +124,15 @@ class BeamState(NamedTuple):
     # truncation is detected on device and surfaced by the runtime.
     overflow: jnp.ndarray  # bool scalar
     # Capacity high-water mark: the max slots any frame actually needed in
-    # (emitting overflow CSR, epsilon CSR, delta-LM walk, select compact) —
-    # read it after a decode with generous capacities to size expand_size/
-    # eps_expand_size/lm_expand_size/select_compact tightly for a
-    # deployment (Decoder.capacity_high_water).  Slot 3 (beam-threshold
-    # survivor demand) is reported even with select_compact=0, so sizing
-    # the compaction never needs a prior compacted run.
-    hiwater: jnp.ndarray  # i32 [4]
+    # (emitting overflow CSR, epsilon CSR, delta-LM walk, select compact,
+    # cold emit lanes) — read it after a decode with generous capacities
+    # to size expand_size/eps_expand_size/lm_expand_size/select_compact/
+    # cold_expand_size tightly for a deployment
+    # (Decoder.capacity_high_water).  Slot 3 (beam-threshold survivor
+    # demand) is reported even with select_compact=0; slot 4 (cold-token
+    # count) even with cold_expand_size=0, so sizing either never needs
+    # a prior configured run.
+    hiwater: jnp.ndarray  # i32 [5]
 
 
 class FrameTrace(NamedTuple):
@@ -327,6 +337,11 @@ class Cands(NamedTuple):
     x0: Optional[jnp.ndarray]  # i32 [E] extra per-source payload, or None
     overflow: jnp.ndarray  # bool scalar
     needed: jnp.ndarray  # i32 scalar: arc slots this expansion wanted
+    # Hot/cold emit split telemetry (emitting pass only): cold-token
+    # demand and its truncation flag (hiwater slot 4).  Python scalar
+    # defaults keep import device-free; they compose with jnp ops.
+    cold_over: object = False
+    cold_needed: object = 0
 
 
 def _expand_csr(cfg: BeamConfig, table: jnp.ndarray, g: int,
@@ -469,38 +484,91 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     # Passes S+A: ONE direct row gather carrying the block arcs, the
     # state_packed lanes and the extracted self-loop, token fields
     # broadcast straight from the beam arrays (no token-row indirection).
-    eb = dfst.emit_block[state_c]  # [K, G*6 + 8] row gather
-    sp = eb[:, g * L:g * L + 4]
-    sf = eb[:, g * L + 4:]
-    n_emit = jnp.where(valid_tok, sp[:, 3], 0)
-    blk = eb[:, :g * L].reshape(k, g, L)
+    cold_over = False
+    cold_needed = 0
+    if dfst.emit_compact:
+        # Compact 9-lane row (graph/device.py layout docstring): the
+        # gather's cost steps with TABLE size on chip, so halving the
+        # row bytes nearly halves the frame's largest gather; lane
+        # unpacking is a handful of VPU shifts/masks.
+        eb = dfst.emit_block[state_c]  # [K, 9] row gather
+        srl = jax.lax.shift_right_logical
+        blk_next = jnp.stack([eb[:, 0] & 0xFFFFF, eb[:, 2] & 0xFFFFF], 1)
+        blk_pdf = jnp.stack([srl(eb[:, 0], 20), srl(eb[:, 2], 20)], 1)
+        blk_wbits = jnp.stack([eb[:, 1], eb[:, 3]], 1)
+        blk_ol = jnp.stack([eb[:, 4] & 0xFFFF, srl(eb[:, 4], 16)], 1)
+        blk_l4 = jnp.stack([eb[:, 5] & 0xFFFF, srl(eb[:, 5], 16)], 1)
+        self_has = srl(eb[:, 7], 12) & 1
+        self_ol = jnp.zeros_like(state_c)  # packable guarantees 0
+        self_wbits = eb[:, 6]
+        self_pdf = eb[:, 7] & 0xFFF
+        n_emit_raw = srl(eb[:, 7], 13) & 0x3FF
+        over_lo = eb[:, 8]
+        eps_meta_self = jnp.zeros_like(state_c)  # compact => eps_removed
+    else:
+        if dfst.hot_rows and cfg.cold_expand_size > 0:
+            # Hot/cold split (EXPERIMENTAL, measured negative on the
+            # headline workload: peak-frame cold demand reached 70% of
+            # the beam, so the static cold capacity erases the small-
+            # table win — kept for graphs with genuinely skewed state
+            # visits).  Exact, loud truncation via hiwater slot 4.
+            cap = min(cfg.cold_expand_size, k)
+            is_hot = state_c < dfst.hot_rows
+            eb = dfst.emit_hot[jnp.where(is_hot, state_c, 0)]
+            cold_mask = valid_tok & ~is_hot
+            cold_needed = jnp.sum(cold_mask.astype(jnp.int32))
+            (cold_states,), cold_ok, _total, lane = compact_mask(
+                cold_mask, [state_c], cap)
+            rows = dfst.emit_block[jnp.where(cold_ok, cold_states, 0)]
+            lane = jnp.where(cold_ok, lane, k)  # invalid lanes drop
+            eb = eb.at[lane].set(rows, mode="drop")
+            cold_over = cold_needed > cap
+        else:
+            eb = dfst.emit_block[state_c]  # [K, G*6 + 8] row gather
+        sp = eb[:, g * L:g * L + 4]
+        sf = eb[:, g * L + 4:]
+        blk = eb[:, :g * L].reshape(k, g, L)
+        blk_next = blk[:, :, 0]
+        blk_ol = blk[:, :, 1]
+        blk_wbits = blk[:, :, 2]
+        blk_pdf = blk[:, :, 3]
+        blk_l4 = blk[:, :, 4]
+        self_has = sf[:, 0]
+        self_ol = sf[:, 1]
+        self_wbits = sf[:, 2]
+        self_pdf = sf[:, 3]
+        n_emit_raw = sp[:, 3]
+        over_lo = sp[:, 2]
+        eps_meta_self = (jnp.zeros_like(state_c) if dfst.eps_removed
+                         else (sp[:, 0] << 9) | sp[:, 1])
+    n_emit = jnp.where(valid_tok, n_emit_raw, 0)
     lanes = jnp.arange(g, dtype=jnp.int32)
     valid_a = lanes[None, :] < n_emit[:, None]
     slots = jnp.arange(k, dtype=jnp.int32)
     repk = lambda x: jnp.repeat(x, g, total_repeat_length=k * g)  # noqa: E731
-    blk_w = jax.lax.bitcast_convert_type(blk[:, :, 2], jnp.float32)
-    self_w = jax.lax.bitcast_convert_type(sf[:, 2], jnp.float32)
+    blk_w = jax.lax.bitcast_convert_type(blk_wbits, jnp.float32)
+    self_w = jax.lax.bitcast_convert_type(self_wbits, jnp.float32)
     cat2 = lambda a, b: jnp.concatenate([a, b])  # noqa: E731
     pass_sa = Cands(
         tok=cat2(slots, repk(slots)),
-        valid=cat2(valid_tok & (sf[:, 0] > 0), valid_a.reshape(k * g)),
+        valid=cat2(valid_tok & (self_has > 0), valid_a.reshape(k * g)),
         cost=cat2(beam.costs + self_w,
                   (beam.costs[:, None] + blk_w).reshape(k * g)),
-        next_state=cat2(state_c, blk[:, :, 0].reshape(k * g)),
-        olabel=cat2(sf[:, 1], blk[:, :, 1].reshape(k * g)),
-        pdf=cat2(sf[:, 3], blk[:, :, 3].reshape(k * g)),
+        next_state=cat2(state_c, blk_next.reshape(k * g)),
+        olabel=cat2(self_ol, blk_ol.reshape(k * g)),
+        pdf=cat2(self_pdf, blk_pdf.reshape(k * g)),
         # Self-loop dest == own state: its eps metadata is the state
         # lanes; in eps_removed mode lane 4 is the composed olabel2, and
         # a true self-loop never has one.
-        eps=(cat2(jnp.zeros_like(state_c) if dfst.eps_removed
-                  else (sp[:, 0] << 9) | sp[:, 1],
-                  blk[:, :, 4].reshape(k * g))
+        eps=(cat2(eps_meta_self, blk_l4.reshape(k * g))
              if need_eps else None),
         lm=(cat2(beam.lm, repk(beam.lm)) if need_lm else None),
         bp=(cat2(beam.bp, repk(beam.bp)) if need_bp else None),
         x0=None,
         overflow=jnp.bool_(False),
         needed=jnp.int32(0),
+        cold_over=cold_over,
+        cold_needed=cold_needed,
     )
     # Pass B: CSR overflow for states with fanout > G.  Statically skipped
     # when the whole graph's fanout fits the first-G block — the overflow
@@ -508,7 +576,7 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
     if dfst.max_emit_fanout <= g:
         return pass_sa
     pass_b = _expand_csr(cfg, dfst.over_packed, dfst.csr_group, capacity,
-                         sp[:, 2], jnp.maximum(n_emit - g, 0), beam.costs,
+                         over_lo, jnp.maximum(n_emit - g, 0), beam.costs,
                          beam.lm, beam.bp, beam.bp, need_lm, need_bp,
                          need_eps)
     cat = lambda a, b: (jnp.concatenate([a, b])  # noqa: E731
@@ -526,6 +594,8 @@ def _expand(cfg: BeamConfig, dfst: DeviceFst, beam: BeamState, capacity: int,
         x0=None,
         overflow=pass_b.overflow,
         needed=pass_b.needed,
+        cold_over=pass_sa.cold_over,
+        cold_needed=pass_sa.cold_needed,
     )
 
 
@@ -609,9 +679,11 @@ def _emitting_step(cfg: BeamConfig, dfst: DeviceFst, dlm: Optional[DeviceLm],
     k = cfg.beam_size
     new_beam = BeamState(states, lms, costs,
                          jnp.arange(k, dtype=jnp.int32),
-                         beam.overflow | c.overflow | lm_over | sel_over,
+                         beam.overflow | c.overflow | lm_over | sel_over
+                         | c.cold_over,
                          beam.hiwater.at[0].max(c.needed)
-                         .at[2].max(lm_needed).at[3].max(sel_needed))
+                         .at[2].max(lm_needed).at[3].max(sel_needed)
+                         .at[4].max(c.cold_needed))
     return (new_beam, parent, jnp.where(keep, olab, 0), cutoff,
             tuple(eps_info))
 
@@ -675,9 +747,9 @@ def _eps_free_step(cfg: BeamConfig, dfst: DeviceFst,
     costs = jnp.where(keep, costs, INF)
     new_beam = BeamState(
         states, lms, costs, jnp.arange(k, dtype=jnp.int32),
-        beam.overflow | c.overflow | lm_over | sel_over,
+        beam.overflow | c.overflow | lm_over | sel_over | c.cold_over,
         beam.hiwater.at[0].max(c.needed).at[2].max(lm_needed)
-        .at[3].max(sel_needed))
+        .at[3].max(sel_needed).at[4].max(c.cold_needed))
     words = jnp.stack([jnp.where(keep, w0, 0), jnp.where(keep, w1_, 0)],
                       axis=1)  # [K, 2] newest-first: (eps olab, emit olab)
     return new_beam, jnp.where(keep, tok, 0), words
@@ -934,7 +1006,7 @@ def make_init_beam(cfg: BeamConfig, dfst: DeviceFst,
     costs = jnp.full((k,), INF).at[0].set(0.0)
     bp = jnp.arange(k, dtype=jnp.int32)
     beam = BeamState(states, lms, costs, bp, jnp.bool_(False),
-                     jnp.zeros((4,), jnp.int32))
+                     jnp.zeros((5,), jnp.int32))
     static = (dfst.eps_depth is not None
               and dfst.eps_depth <= cfg.max_eps_iters)
     if static:

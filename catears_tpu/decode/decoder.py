@@ -108,7 +108,7 @@ def autosize(fst: FlatFst, tid2pdf: np.ndarray, logp: np.ndarray,
     lp = np.asarray(logp, np.float32)
     if lp.ndim == 2:
         lp = lp[None]
-    hw = np.zeros(4, np.int64)
+    hw = np.zeros(5, np.int64)
     for row in lp:
         dec = Decoder(fst, tid2pdf, am_scale=am_scale, delta_lm=delta_lm,
                       config=sizing, arc_group=arc_group,
@@ -244,8 +244,8 @@ class Decoder:
 
     @property
     def capacity_high_water(self) -> tuple:
-        """(emit_overflow, eps, lm_walk, select_compact) slots the decode
-        actually needed.
+        """(emit_overflow, eps, lm_walk, select_compact, cold_emit)
+        slots the decode actually needed.
 
         Run a representative decode with generous capacities, then size
         BeamConfig.expand_size / eps_expand_size / lm_expand_size /
@@ -253,7 +253,7 @@ class Decoder:
         geometry.
         """
         hw = np.asarray(self.beam.hiwater)[0]
-        return int(hw[0]), int(hw[1]), int(hw[2]), int(hw[3])
+        return tuple(int(x) for x in hw)
 
     def check_capacity(self) -> None:
         if self.overflowed:
@@ -413,7 +413,7 @@ def _regrow_config(config: BeamConfig, hiwater, margin: float) -> BeamConfig:
     """New geometry from measured demand: each overflowing capacity grows
     to its high-water mark x margin (the mark is a lower bound on true
     demand once truncation happened, hence the margin)."""
-    emit, eps, lm, _sel = (int(x) for x in hiwater)
+    emit, eps, lm, _sel, cold = (int(x) for x in hiwater)
     grow = lambda cur, need: max(cur, _round_up(int(need * margin), 512))
     return dataclasses.replace(
         config,
@@ -422,6 +422,9 @@ def _regrow_config(config: BeamConfig, hiwater, margin: float) -> BeamConfig:
         lm_expand_size=(grow(config.lm_expand_size, lm)
                         if config.lm_expand_size > 0 and lm else
                         config.lm_expand_size),
+        cold_expand_size=(grow(config.cold_expand_size, cold)
+                          if config.cold_expand_size > 0 and cold else
+                          config.cold_expand_size),
         select_compact=0,  # never retry into the experimental knob
     )
 

@@ -161,10 +161,10 @@ def _eps_depth(fst: FlatFst, bound: int = 16) -> Optional[int]:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["start", "final", "state_packed", "over_packed",
-                 "eps_packed", "emit_block"],
+                 "eps_packed", "emit_block", "emit_hot"],
     meta_fields=["eps_depth", "group", "csr_group", "eps_group",
                  "eps_meta_ok", "max_emit_fanout", "eps_removed",
-                 "has_emit_olabel"])
+                 "has_emit_olabel", "hot_rows", "emit_compact"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFst:
     """HCLG graph as device arrays (arcs (state, ilabel)-sorted).
@@ -237,6 +237,30 @@ class DeviceFst:
     # remove_epsilons only the composed second label (lane 4) is ever
     # nonzero — the delta-LM's first-walk pass is statically skippable.
     has_emit_olabel: bool = True
+    # Hot/cold emit split: rows [0, hot_rows) of emit_block are COPIED
+    # into the separate emit_hot table.  On-chip gathers cost per row by
+    # TABLE size in a step function (~9 ns/row <= ~12 MB, ~16 to ~22 MB,
+    # ~36 beyond — scripts/hotcoldprof.py measurements), so serving the
+    # frequency-renumbered hot states (graph.transform.hot_order) from a
+    # small table and only the compacted cold lanes from the big one
+    # turns the frame's largest gather from K x 36 ns into
+    # K x 9 + cold x 36.  0 = single-table layout.  Requires
+    # BeamConfig.cold_expand_size > 0 to take effect in the decoder.
+    emit_hot: Optional[jnp.ndarray] = None
+    hot_rows: int = 0
+    # Static: emit_block uses the COMPACT 9-lane row (eps-removed, G=2
+    # graphs whose fields fit the packed widths — see build()).  Gather
+    # cost is per row AND stepped by table size (scripts measurements:
+    # ~36 ns/row at 44 MB vs ~21 at 22 MB for the 618k-state trie), so
+    # packing the 18-lane row into 9 lanes cuts the frame's largest
+    # gather nearly in half with no bookkeeping.  Layout:
+    #   0: next0 | pdf0 << 20        1: w0 bits (f32)
+    #   2: next1 | pdf1 << 20        3: w1 bits
+    #   4: olabel0 | olabel1 << 16   5: olabel2_0 | olabel2_1 << 16
+    #   6: w_self bits
+    #   7: self_pdf | self_has << 12 | n_emit << 13
+    #   8: emit_over_lo
+    emit_compact: bool = False
 
     ARC_LANES = 5
 
@@ -245,7 +269,9 @@ class DeviceFst:
               eps_depth_cap: Optional[int] = None,
               csr_group: Optional[int] = None,
               eps_group: Optional[int] = None,
-              olabel2: Optional[np.ndarray] = None) -> "DeviceFst":
+              olabel2: Optional[np.ndarray] = None,
+              hot_rows: int = 0,
+              compact: Optional[bool] = None) -> "DeviceFst":
         """eps_depth_cap: caller-guaranteed closure round bound (e.g. 1
         after graph.transform.close_epsilons) — the syntactic chain depth
         measured here stays larger because closure keeps original arcs.
@@ -351,6 +377,40 @@ class DeviceFst:
         state_packed = np.stack([
             eps_row_lo, n_eps, emit_over_lo, n_emit
         ], axis=1).astype(np.int32)
+        emit_block_np = np.concatenate(
+            [block.reshape(s, group * lanes), state_packed, self_arc],
+            axis=1)
+        # Compact 9-lane emit row (see class docstring): only for the
+        # production eps-removed mode with G=2 and field widths that fit
+        # the packing — guards fall back to the classic 18-lane layout.
+        emit_compact = (compact is not False) and bool(
+            olabel2 is not None and group == 2 and hot_rows == 0
+            and s < 2 ** 20
+            and arc_pdf.max(initial=0) < 4096
+            and int(self_arc[:, 3].max(initial=0)) < 4096
+            and fst.arc_olabel.max(initial=0) < 65536
+            and (olabel2 is None or int(np.asarray(olabel2).max(initial=0))
+                 < 65536)
+            and int(n_emit.max(initial=0)) < 1024
+            and int(self_arc[:, 1].max(initial=0)) == 0)
+        if emit_compact:
+            blk = block.reshape(s, group, lanes).astype(np.int64)
+            sa = self_arc.astype(np.int64)
+            pack = lambda v: ((v & 0xFFFFFFFF).astype(np.uint32)  # noqa: E731
+                              .view(np.int32))
+            emit_block_np = np.stack([
+                pack(blk[:, 0, 0] | (blk[:, 0, 3] << 20)),
+                pack(blk[:, 0, 2]),
+                pack(blk[:, 1, 0] | (blk[:, 1, 3] << 20)),
+                pack(blk[:, 1, 2]),
+                pack(blk[:, 0, 1] | (blk[:, 1, 1] << 16)),
+                pack(blk[:, 0, 4] | (blk[:, 1, 4] << 16)),
+                pack(sa[:, 2]),
+                pack(sa[:, 3] | (sa[:, 0] << 12)
+                     | (n_emit.astype(np.int64) << 13)),
+                emit_over_lo.astype(np.int32),
+            ], axis=1)
+        hot_rows = min(hot_rows, s)
         return cls(
             start=jnp.int32(fst.start),
             final=jnp.asarray(fst.final),
@@ -359,9 +419,10 @@ class DeviceFst:
                                                       gc * lanes)),
             eps_packed=jnp.asarray(eps_flat.reshape(n_eps_rows,
                                                     ge * lanes)),
-            emit_block=jnp.asarray(np.concatenate(
-                [block.reshape(s, group * lanes), state_packed, self_arc],
-                axis=1)),
+            emit_block=jnp.asarray(emit_block_np),
+            emit_hot=(jnp.asarray(emit_block_np[:hot_rows].copy())
+                      if hot_rows else None),
+            hot_rows=hot_rows,
             eps_depth=cls._capped_depth(_eps_depth(fst), eps_depth_cap),
             group=group,
             csr_group=gc,
@@ -370,6 +431,7 @@ class DeviceFst:
             max_emit_fanout=int(n_emit.max(initial=0)),
             eps_removed=olabel2 is not None,
             has_emit_olabel=bool((~is_eps & (fst.arc_olabel > 0)).any()),
+            emit_compact=emit_compact,
         )
 
     @staticmethod

@@ -256,6 +256,33 @@ def frequency_order(counts: np.ndarray, tie_break: np.ndarray = None
     return perm
 
 
+def hot_order(counts: np.ndarray, hot_rows: int, seed: int = 0
+              ) -> np.ndarray:
+    """Hot/cold layout permutation: the `hot_rows` most-visited states get
+    ids [0, hot_rows) — SHUFFLED within the hot region (adjacent-row
+    gathers measure ~1.5x slower than spread ones on chip, so
+    concentrating hot chains at adjacent ids would forfeit part of the
+    small-table win) — and the rest keep their relative natural order
+    (preserving the trie's chain adjacency, which the cold path rarely
+    touches).  Pair with DeviceFst.build(hot_rows=...) so the decoder
+    serves ids < hot_rows from a separate small emit table in the
+    measured 9 ns/row gather regime (<= ~12 MB) instead of the full
+    table's 36 ns/row.
+    """
+    n = counts.shape[0]
+    h = min(hot_rows, n)
+    top = np.argsort(-counts.astype(np.int64), kind="stable")[:h]
+    rng = np.random.RandomState(seed)
+    shuffled = top[rng.permutation(h)]
+    perm = np.empty(n, np.int32)
+    perm[shuffled] = np.arange(h, dtype=np.int32)
+    is_hot = np.zeros(n, bool)
+    is_hot[top] = True
+    rest = np.flatnonzero(~is_hot)
+    perm[rest] = (h + np.arange(rest.size)).astype(np.int32)
+    return perm
+
+
 def renumber_states(fst: FlatFst, perm: np.ndarray) -> FlatFst:
     """Apply a state permutation (perm[old] = new); exact relabeling.
 

@@ -75,7 +75,7 @@ beam0 = BeamState(
     costs=jnp.asarray(np.sort(rng.rand(BATCH, K).astype(np.float32) * 8, 1)),
     bp=jnp.tile(jnp.arange(K, dtype=jnp.int32), (BATCH, 1)),
     overflow=jnp.zeros((BATCH,), bool),
-    hiwater=jnp.zeros((BATCH, 4), jnp.int32),
+    hiwater=jnp.zeros((BATCH, 5), jnp.int32),
 )
 logp0 = jnp.asarray(rng.randn(BATCH, P).astype(np.float32) - 5.0)
 

@@ -386,7 +386,7 @@ class TestOverflowSafety:
         dec.end_of_stream()
         assert not dec.overflowed
         hyp = dec.best_path()
-        hw_emit, hw_eps, _, _ = dec.capacity_high_water
+        hw_emit, hw_eps, _, _, _ = dec.capacity_high_water
         assert 0 < hw_emit <= big.expand_size
         assert 0 < hw_eps <= big.eps_expand_size
 
@@ -416,7 +416,7 @@ class TestOverflowSafety:
         dec4.process(logp)
         dec4.end_of_stream()
         assert not dec4.overflowed
-        hw4_emit, _, _, _ = dec4.capacity_high_water
+        hw4_emit, _, _, _, _ = dec4.capacity_high_water
         tight4 = BeamConfig(beam_size=64, expand_size=max(hw4_emit, 1),
                             eps_expand_size=64, max_eps_iters=6, beam=1e9)
         dec5 = Decoder(fst, graph.tid2pdf, config=tight4, arc_group=1)
@@ -635,6 +635,127 @@ class TestSelectCompact:
         assert small.overflowed
         with pytest.raises(BeamCapacityError):
             small.best_path()
+
+
+class TestCompactEmit:
+    """The compact 9-lane emit row must decode EXACTLY like the classic
+    18-lane layout (it packs the same fields; graph/device.py layout)."""
+
+    def _dec(self, g, compact, beam=256):
+        from catears_tpu.decode.decoder import BatchDecoder
+        from catears_tpu.graph.device import DeviceFst
+        from catears_tpu.graph.transform import prepare_decode_graph
+
+        cfg = BeamConfig(beam_size=beam, expand_size=4096,
+                         eps_expand_size=2048, max_eps_iters=3)
+        dec_fst, olab2, mode = prepare_decode_graph(g.fst)
+        assert mode == "eps_free"
+        dfst = DeviceFst.build(dec_fst, g.tid2pdf, group=2,
+                               eps_depth_cap=1, olabel2=olab2,
+                               compact=compact)
+        assert dfst.emit_compact == compact
+        return BatchDecoder(dec_fst, g.tid2pdf, config=cfg, dfst=dfst)
+
+    def test_compact_matches_classic(self):
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+
+        rng = np.random.RandomState(5)
+        g = make_trie_graph(rng, num_words=300, num_phones=25,
+                            bigram_states=50, variants=2)
+        logp, words = plant_logp(rng, g, 3, 120)
+        classic = self._dec(g, False).decode(logp)
+        packed = self._dec(g, True).decode(logp)
+        for u in range(3):
+            assert packed[u].words == classic[u].words
+            assert abs(packed[u].weight - classic[u].weight) < 1e-3
+        assert any(h.words for h in packed)
+
+    def test_guard_falls_back(self):
+        """Graphs whose fields exceed the packed widths keep the classic
+        layout (e.g. arc_group != 2)."""
+        from catears_tpu.graph.device import DeviceFst
+        from catears_tpu.graph.transform import prepare_decode_graph
+        from catears_tpu.tools.biggraph import make_trie_graph
+
+        g = make_trie_graph(np.random.RandomState(1), num_words=100,
+                            num_phones=20, bigram_states=20, variants=2)
+        dec_fst, olab2, _ = prepare_decode_graph(g.fst)
+        d4 = DeviceFst.build(dec_fst, g.tid2pdf, group=4,
+                             eps_depth_cap=1, olabel2=olab2)
+        assert not d4.emit_compact
+        d2 = DeviceFst.build(dec_fst, g.tid2pdf, group=2,
+                             eps_depth_cap=1, olabel2=olab2)
+        assert d2.emit_compact  # auto-on for the production shape
+
+
+class TestHotColdSplit:
+    """Hot/cold emit-table split (DeviceFst.hot_rows +
+    BeamConfig.cold_expand_size): exact vs the single-table gather, with
+    loud truncation when cold demand exceeds the lane budget."""
+
+    def _setup(self):
+        from catears_tpu.tools.biggraph import make_trie_graph, plant_logp
+        rng = np.random.RandomState(21)
+        g = make_trie_graph(rng, num_words=200, num_phones=25,
+                            bigram_states=40, variants=2)
+        logp, words = plant_logp(rng, g, 2, 100)
+        return g, logp, words, rng
+
+    def _decode(self, g, logp, hot_rows, cold, beam=256):
+        import dataclasses
+
+        from catears_tpu.decode.beam import decode_chunk, init_beam_batch
+        from catears_tpu.decode.decoder import BatchDecoder
+        from catears_tpu.graph.device import DeviceFst
+        from catears_tpu.graph.transform import prepare_decode_graph
+
+        cfg = BeamConfig(beam_size=beam, expand_size=4096,
+                         eps_expand_size=2048, max_eps_iters=3,
+                         cold_expand_size=cold)
+        dec_fst, olab2, mode = prepare_decode_graph(g.fst)
+        dfst = DeviceFst.build(dec_fst, g.tid2pdf, group=2,
+                               eps_depth_cap=1 if mode != "raw" else None,
+                               olabel2=olab2, hot_rows=hot_rows)
+        dec = BatchDecoder(dec_fst, g.tid2pdf, config=cfg, dfst=dfst)
+        return dec
+
+    def test_split_matches_plain(self):
+        import dataclasses
+
+        from catears_tpu.graph.transform import hot_order, renumber_states
+
+        g, logp, words, rng = self._setup()
+        plain = self._decode(g, logp, 0, 0).decode(logp)
+        # hot order from random counts; H covers half the states
+        counts = rng.randint(0, 100, size=g.fst.num_states)
+        h = g.fst.num_states // 2
+        g2 = dataclasses.replace(
+            g, fst=renumber_states(g.fst, hot_order(counts, h)))
+        dec = self._decode(g2, logp, h, 256)  # cold cap = beam: safe
+        got = dec.decode(logp, retry_on_overflow=False)
+        for u in range(2):
+            assert got[u].words == plain[u].words
+            assert abs(got[u].weight - plain[u].weight) < 1e-3
+
+    def test_cold_overflow_is_loud_and_retries(self):
+        from catears_tpu.graph.transform import hot_order, renumber_states
+        from catears_tpu.utils.errors import BeamCapacityError
+
+        g, logp, words, rng = self._setup()
+        plain = self._decode(g, logp, 0, 0).decode(logp)
+        counts = rng.randint(0, 100, size=g.fst.num_states)
+        h = 50  # tiny hot set: most tokens are cold
+        import dataclasses
+        g2 = dataclasses.replace(
+            g, fst=renumber_states(g.fst, hot_order(counts, h)))
+        dec = self._decode(g2, logp, h, 8)  # cold cap way too small
+        with pytest.raises(BeamCapacityError) as ei:
+            dec.decode(logp, retry_on_overflow=False)
+        assert ei.value.hiwater[4] > 8
+        # and the regrow-retry path recovers to the exact transcript
+        got = dec.decode(logp)  # retry_on_overflow default True
+        for u in range(2):
+            assert got[u].words == plain[u].words
 
 
 class TestAutosize:
