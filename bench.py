@@ -507,6 +507,9 @@ def main_streaming():
         rec = Recognizer(conf, beam_config=cfg)
         pcm = (rng.randn(int(seconds * 16000)) * 1000).astype("<i2").tobytes()
         fmt = WaveFormat(1, 16000, 16)
+        n_streams = int(os.environ.get("BENCH_STREAMS", 1))
+        if n_streams > 1:
+            return _bench_stream_batch(rec, pcm, cfg, n_streams, seconds)
 
         def run(step_times=None):
             utt = rec.create_utterance(fmt)
@@ -546,6 +549,71 @@ def main_streaming():
     print(f"# streaming 1 utt x {seconds}s, beam={cfg.beam_size}, "
           f"times={[round(t, 3) for t in times]}, per-20-frame-chunk "
           f"latency p50={p50:.1f}ms p95={p95:.1f}ms (chunk=200ms audio)",
+          file=sys.stderr)
+    return 0
+
+
+def _bench_stream_batch(rec, pcm, cfg, n_streams, seconds):
+    """N concurrent live streams through BatchStreamingSession — the
+    measured replacement for the extrapolated "16 streams at 2.1x each"
+    claim.  Every stream receives a 200 ms chunk per tick (process_batch:
+    one fused [B] device step per tick) and, matching the single-stream
+    Utterance contract, every stream's partial hypothesis refreshes after
+    each step (BENCH_STREAM_PARTIALS=0 to measure decode-only and
+    attribute the per-chunk trace pull to the dev tunnel)."""
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float32)
+    partials = os.environ.get("BENCH_STREAM_PARTIALS", "1") == "1"
+    feed = 3200  # 200 ms of audio per stream per tick
+
+    def run(step_times=None):
+        sess = rec.create_stream_batch(n_streams)
+        decoded = 0
+        for off in range(0, samples.size, feed):
+            chunk = samples[off:off + feed]
+            t0 = time.perf_counter()
+            sess.process_batch([chunk] * n_streams)
+            now = sess.num_frames_decoded[0]
+            if now > decoded and partials:
+                sess.partials()  # all streams, one device round trip
+            elif now > decoded:
+                # Decode-only ticks dispatch asynchronously; force one
+                # tiny scalar transfer so the recorded tick latency is the
+                # true device step + sync, not the dispatch overhead
+                # (block_until_ready under-reports through the dev tunnel).
+                import jax as _jax
+                _jax.device_get(sess.beam.costs[0, 0])
+            dt = time.perf_counter() - t0
+            if now > decoded and step_times is not None:
+                step_times.append(dt)
+            decoded = now
+        for u in range(n_streams):
+            sess.end_of_stream(u)
+        return [sess.best_path(u, end_of_stream=True)
+                for u in range(n_streams)]
+
+    hyps = run()  # warmup/compile
+    assert all(h.words is not None for h in hyps)
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+    times, step_times = [], []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run(step_times)
+        times.append(time.perf_counter() - t0)
+    value = n_streams * seconds / min(times)
+    st = np.sort(np.asarray(step_times)) * 1e3
+    p50 = st[len(st) // 2]
+    p95 = st[int(len(st) * 0.95)]
+    print(json.dumps({
+        "metric": "batched_streaming_audio_seconds_per_sec",
+        "value": round(value, 3),
+        "unit": "xRT",
+        "vs_baseline": round(value, 3),
+    }))
+    print(f"# batched streaming {n_streams} streams x {seconds}s, "
+          f"beam={cfg.beam_size}, partials={int(partials)}, "
+          f"times={[round(t, 3) for t in times]}, per-stream xRT="
+          f"{value / n_streams:.2f}, per-tick (20 frames x {n_streams} "
+          f"streams) latency p50={p50:.1f}ms p95={p95:.1f}ms",
           file=sys.stderr)
     return 0
 

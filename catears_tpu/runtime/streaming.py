@@ -503,6 +503,25 @@ class BatchStreamingSession:
                 [self._samples[u], samples.astype(np.float32)])
         self._drain()
 
+    def process_batch(self, chunks) -> None:
+        """Feed one chunk per stream (None or empty to skip one), then step.
+
+        Appends EVERY stream's samples before draining, so simultaneous
+        arrivals (a server's event-loop tick delivering audio for all live
+        streams) decode as one fused [B] group step.  N separate
+        ``process()`` calls would drain after each append and serialize
+        the same audio into N batch-1 device steps.  Per-stream decode
+        results are identical either way (group membership only controls
+        the active mask; equivalence vs independent sessions is tested).
+        """
+        for u, s in enumerate(chunks):
+            if s is None or self._flushed[u]:
+                continue
+            s = np.asarray(s, np.float32).ravel()
+            if s.size:
+                self._samples[u] = np.concatenate([self._samples[u], s])
+        self._drain()
+
     def _host_cmvn_tail(self, u: int, feats: np.ndarray) -> np.ndarray:
         gsum = np.asarray(self._cm[0], np.float64)
         gcount = float(self._cm[1])
@@ -601,3 +620,28 @@ class BatchStreamingSession:
         return best_path(self._host_traces[u], states, lms, costs, self.fst,
                          self.delta_lm, end_of_stream=end_of_stream,
                          tracker=self._trackers[u])
+
+    def partials(self) -> List[Hypothesis]:
+        """Refresh EVERY stream's partial hypothesis in one device round
+        trip: one trace materialization plus one whole-[B] beam pull,
+        then per-stream incremental host walks.  B ``best_path()`` calls
+        return the same hypotheses but pay B separate device syncs for
+        slices of the same arrays — through a remote-attached device
+        that is B round-trip latencies per tick, not one."""
+        ovf = np.asarray(self.beam.overflow)
+        if ovf.any():
+            from catears_tpu.utils.errors import BeamCapacityError
+            raise BeamCapacityError(
+                f"arc expansion overflowed capacity for streams "
+                f"{np.nonzero(ovf)[0].tolist()} "
+                f"(expand_size={self.cfg.expand_size})")
+        self._materialize()
+        states = np.asarray(self.beam.states)
+        lms = np.asarray(self.beam.lm)
+        costs = np.asarray(self.beam.costs)
+        return [
+            best_path(self._host_traces[u], states[u], lms[u], costs[u],
+                      self.fst, self.delta_lm, end_of_stream=False,
+                      tracker=self._trackers[u])
+            for u in range(self.b)
+        ]

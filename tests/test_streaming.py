@@ -211,6 +211,41 @@ class TestBatchStreaming:
             got.append(" ".join(table.get(w) for w in hyp.words))
         assert got == want
 
+    def test_process_batch_one_group_step_per_tick(self, recognizer,
+                                                   data_dir):
+        """process_batch appends EVERY stream's chunk before draining, so
+        simultaneous arrivals decode as ONE fused group step per tick —
+        per-stream process() calls would drain between appends and
+        serialize the same audio into B batch-1 steps (the bench's
+        BENCH_STREAMS path relies on this).  Results must equal
+        independent fused sessions."""
+        from catears_tpu.io.wav import WaveFormat
+
+        payload = self._payload(data_dir, "en-us-hello.wav")
+        samples = self._pcm_to_f32(payload)
+        want = []
+        for _ in range(2):
+            utt = Utterance(recognizer, WaveFormat(1, 16000, 16),
+                            fused=True)
+            utt.process(payload)
+            utt.end_of_stream()
+            want.append(utt.hyp)
+
+        batch = recognizer.create_stream_batch(2)
+        for off in range(0, samples.size, 3200):
+            batch.process_batch([samples[off:off + 3200]] * 2)
+        assert batch.num_frames_decoded[0] == batch.num_frames_decoded[1]
+        # One _step_group per 20 decoded frames == both streams rode every
+        # device step together (serialized steps would log 2 per 20).
+        assert len(batch._dev_traces) == batch.num_frames_decoded[0] // 20
+        table = recognizer.symbol_table
+        got = []
+        for u in range(2):
+            batch.end_of_stream(u)
+            hyp = batch.best_path(u, end_of_stream=True)
+            got.append(" ".join(table.get(w) for w in hyp.words))
+        assert got == want
+
     def test_partial_hypotheses_per_stream(self, recognizer, data_dir):
         """Mid-stream partials per stream match a solo session's partial
         at the same decoded-frame count."""
@@ -219,6 +254,11 @@ class TestBatchStreaming:
         batch = recognizer.create_stream_batch(2)
         batch.process(0, samples[:24000])
         batch.process(1, samples[:8000])
+        # partials() (one round trip for all streams) must equal the
+        # per-stream best_path calls it replaces.
+        all_hyps = batch.partials()
+        assert [h.words for h in all_hyps] == [
+            batch.best_path(u, end_of_stream=False).words for u in range(2)]
         solo = Utterance(recognizer,
                          __import__("catears_tpu.io.wav",
                                     fromlist=["WaveFormat"]
