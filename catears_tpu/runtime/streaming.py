@@ -339,9 +339,12 @@ class StreamingSession:
             log.count("frames_decoded", n_valid)
 
     def _materialize(self) -> None:
-        for trace, n_valid in self._dev_traces:
-            prev = np.asarray(trace.prev_slot)  # [F, 1, K]
-            words = np.asarray(trace.words)
+        if not self._dev_traces:
+            return
+        # One batched device_get (single sync) for all pending chunks.
+        pulled = jax.device_get(
+            [(t.prev_slot, t.words) for t, _ in self._dev_traces])
+        for (prev, words), (_, n_valid) in zip(pulled, self._dev_traces):
             self._host_traces.extend(
                 HostTrace(prev[i, 0], words[i, 0]) for i in range(n_valid))
         self._dev_traces = []
@@ -360,9 +363,8 @@ class StreamingSession:
                 f"{self.cfg.eps_expand_size}) after "
                 f"{self.num_frames_decoded} frames")
         self._materialize()
-        states = np.asarray(self.beam.states[0])
-        lms = np.asarray(self.beam.lm[0])
-        costs = np.asarray(self.beam.costs[0])
+        states, lms, costs = jax.device_get(
+            (self.beam.states[0], self.beam.lm[0], self.beam.costs[0]))
         return best_path(self._host_traces, states, lms, costs, self.fst,
                          self.delta_lm, end_of_stream=end_of_stream,
                          tracker=self._tracker)
@@ -595,9 +597,14 @@ class BatchStreamingSession:
             log.count("frames_decoded", n_valid)
 
     def _materialize(self) -> None:
-        for trace, n_valid in self._dev_traces:
-            prev = np.asarray(trace.prev_slot)  # [F, B, K]
-            words = np.asarray(trace.words)
+        if not self._dev_traces:
+            return
+        # One device_get for every pending chunk's (prev, words): the
+        # transfers dispatch together and sync once, instead of paying a
+        # full round-trip latency per array.
+        pulled = jax.device_get(
+            [(t.prev_slot, t.words) for t, _ in self._dev_traces])
+        for (prev, words), (_, n_valid) in zip(pulled, self._dev_traces):
             for u in range(self.b):
                 self._host_traces[u].extend(
                     HostTrace(prev[i, u], words[i, u])
@@ -614,9 +621,8 @@ class BatchStreamingSession:
                 f"arc expansion overflowed capacity for stream {u} "
                 f"(expand_size={self.cfg.expand_size})")
         self._materialize()
-        states = np.asarray(self.beam.states[u])
-        lms = np.asarray(self.beam.lm[u])
-        costs = np.asarray(self.beam.costs[u])
+        states, lms, costs = jax.device_get(
+            (self.beam.states[u], self.beam.lm[u], self.beam.costs[u]))
         return best_path(self._host_traces[u], states, lms, costs, self.fst,
                          self.delta_lm, end_of_stream=end_of_stream,
                          tracker=self._trackers[u])
@@ -628,7 +634,9 @@ class BatchStreamingSession:
         return the same hypotheses but pay B separate device syncs for
         slices of the same arrays — through a remote-attached device
         that is B round-trip latencies per tick, not one."""
-        ovf = np.asarray(self.beam.overflow)
+        ovf, states, lms, costs = jax.device_get(
+            (self.beam.overflow, self.beam.states, self.beam.lm,
+             self.beam.costs))
         if ovf.any():
             from catears_tpu.utils.errors import BeamCapacityError
             raise BeamCapacityError(
@@ -636,9 +644,6 @@ class BatchStreamingSession:
                 f"{np.nonzero(ovf)[0].tolist()} "
                 f"(expand_size={self.cfg.expand_size})")
         self._materialize()
-        states = np.asarray(self.beam.states)
-        lms = np.asarray(self.beam.lm)
-        costs = np.asarray(self.beam.costs)
         return [
             best_path(self._host_traces[u], states[u], lms[u], costs[u],
                       self.fst, self.delta_lm, end_of_stream=False,
